@@ -1,0 +1,129 @@
+"""Pose-conditioned ROI computation and jittable crop-resize.
+
+Reference parity targets:
+  - ``compute_bbox`` (reference Utils.py:302-316): square window of
+    ``scale_size`` millimetres centered on the projected object origin,
+    corners rounded to int32, returned as (v, u) = (row, col) pairs.
+  - ``crop_bbox`` (reference Utils.py:320-359): zero-padded crop of the
+    bbox followed by cv2 INTER_NEAREST resize to the output size. The
+    reference's final ``x * (x != 0)`` masking is numerically a no-op and
+    is therefore omitted.
+
+TPU-first design: the crop is a single gather with statically-shaped output
+(H_out, W_out); the dynamic bbox only enters through gather indices, so the
+whole op lives inside ``jit`` with no host round trip, unlike the reference
+which crops on the CPU between GL and CUDA (reference predict.py:229-237).
+
+cv2 INTER_NEAREST maps destination pixel ``d`` to source pixel
+``floor(d * src/dst)``; we compute that with exact integer arithmetic
+(cv2 uses a double-precision scale — agreement is exact except for
+pathological sizes where cv2's double rounding differs by 1 source pixel).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_bbox(
+    pose: jax.Array,
+    K: jax.Array,
+    scale_size: float | jax.Array,
+    scale: tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> jax.Array:
+    """Project the pose-centered square window; parity with Utils.py:302-316.
+
+    Args:
+      pose: (4, 4) object-in-camera pose.
+      K: (3, 3) intrinsics.
+      scale_size: window edge length in the scaled units (typically mm).
+      scale: per-axis multiplier applied to the pose translation (the
+        reference passes (1000, 1000, 1000) to go meters -> mm, and
+        (1000, -1000, 1000) for its GL-flipped render path).
+
+    Returns:
+      (4, 2) int32 array of (v, u) = (row, col) corners.
+    """
+    scale = jnp.asarray(scale, dtype=jnp.float32)
+    obj = pose[:3, 3] * scale
+    offset = scale_size / 2.0
+    dx = jnp.array([-1.0, -1.0, 1.0, 1.0], dtype=jnp.float32) * offset
+    dy = jnp.array([-1.0, 1.0, -1.0, 1.0], dtype=jnp.float32) * offset
+    xs = obj[0] + dx
+    ys = obj[1] + dy
+    zs = jnp.broadcast_to(obj[2], xs.shape)
+    us = xs * K[0, 0] / zs + K[0, 2]
+    vs = ys * K[1, 1] / zs + K[1, 2]
+    vu = jnp.stack([vs, us], axis=-1)
+    return jnp.round(vu).astype(jnp.int32)
+
+
+def bbox_window(bbox: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(left, right, top, bottom) ints from a (4, 2) (v, u) bbox.
+
+    Matches the unpacking in reference Utils.py:321-324 / predict.py:203-206.
+    """
+    left = jnp.min(bbox[:, 1])
+    right = jnp.max(bbox[:, 1])
+    top = jnp.min(bbox[:, 0])
+    bottom = jnp.max(bbox[:, 0])
+    return left, right, top, bottom
+
+
+def crop_resize_nearest(
+    img: jax.Array,
+    top: jax.Array,
+    left: jax.Array,
+    crop_h: jax.Array,
+    crop_w: jax.Array,
+    out_hw: tuple[int, int],
+) -> jax.Array:
+    """Nearest-neighbour resample of img[top:top+crop_h, left:left+crop_w].
+
+    Out-of-image source pixels read as 0 (the reference zero-pads,
+    Utils.py:329-342). ``img`` is (H, W) or (H, W, C); output has static
+    shape ``out_hw`` (+ channels). All bbox arguments may be traced scalars.
+    """
+    H_out, W_out = out_hw
+    h, w = img.shape[0], img.shape[1]
+    oi = jnp.arange(H_out, dtype=jnp.int32)
+    oj = jnp.arange(W_out, dtype=jnp.int32)
+    # cv2 INTER_NEAREST: src = floor(dst * crop/out), exact integer form.
+    crop_h = crop_h.astype(jnp.int32)
+    crop_w = crop_w.astype(jnp.int32)
+    src_r = top.astype(jnp.int32) + (oi * crop_h) // H_out
+    src_c = left.astype(jnp.int32) + (oj * crop_w) // W_out
+    valid_r = (src_r >= 0) & (src_r < h)
+    valid_c = (src_c >= 0) & (src_c < w)
+    rr = jnp.clip(src_r, 0, h - 1)
+    cc = jnp.clip(src_c, 0, w - 1)
+    out = img[rr[:, None], cc[None, :]]
+    mask = valid_r[:, None] & valid_c[None, :]
+    if img.ndim == 3:
+        mask = mask[..., None]
+    return jnp.where(mask, out, jnp.zeros((), dtype=img.dtype))
+
+
+def crop_bbox(
+    color: jax.Array,
+    depth: jax.Array,
+    bbox: jax.Array,
+    output_size: tuple[int, int],
+    seg: jax.Array | None = None,
+):
+    """Crop + nearest-resize color/depth(/seg) to the bbox window.
+
+    API parity with reference Utils.py:320-359. ``output_size`` is (W, H)
+    to match the cv2 convention used there; depth is cast to the
+    reference's uint16 mm convention by the caller if needed.
+    """
+    W_out, H_out = output_size
+    left, right, top, bottom = bbox_window(bbox)
+    crop_h = bottom - top
+    crop_w = right - left
+    out_c = crop_resize_nearest(color, top, left, crop_h, crop_w, (H_out, W_out))
+    out_d = crop_resize_nearest(depth, top, left, crop_h, crop_w, (H_out, W_out))
+    if seg is not None:
+        out_s = crop_resize_nearest(seg, top, left, crop_h, crop_w, (H_out, W_out))
+        return out_c, out_d, out_s
+    return out_c, out_d
