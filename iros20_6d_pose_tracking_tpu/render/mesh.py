@@ -1,0 +1,418 @@
+"""Mesh IO and preprocessing for the TPU rasterizer.
+
+Self-contained PLY/OBJ loaders (the reference leans on plyfile/trimesh,
+reference vispy_renderer.py:104-122 / offscreen_renderer.py:58-64; neither
+is a dependency here). Loaded meshes are packed into a static
+:class:`TriMesh` of padded, Morton-ordered triangles — the layout the
+rasterizer's (pixel-tile x face-block) grid relies on for tight per-block
+screen bounds.
+
+Also hosts the point-cloud utilities the tracker needs at init:
+``voxel_down_sample`` (reference predict.py:131-133) and
+``compute_cloud_diameter`` (reference Utils.py:101-105).
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+FACE_BLOCK = 256  # faces per rasterizer block; padding granularity
+
+
+@dataclass
+class TriMesh:
+    """Triangle soup prepared for rendering.
+
+    verts: (V, 3) float32 object-space positions (meters)
+    faces: (F, 3) int32 vertex indices, padded with degenerate (0,0,0) rows
+    colors: (V, 3) float32 vertex albedo in [0, 1]
+    normals: (V, 3) float32 unit vertex normals
+    num_faces: actual face count before padding
+    """
+
+    verts: np.ndarray
+    faces: np.ndarray
+    colors: np.ndarray
+    normals: np.ndarray
+    num_faces: int
+
+    @property
+    def diameter(self) -> float:
+        return compute_cloud_diameter(self.verts)
+
+
+# ---------------------------------------------------------------------------
+# PLY
+# ---------------------------------------------------------------------------
+
+_PLY_TYPES = {
+    "char": ("b", 1), "int8": ("b", 1),
+    "uchar": ("B", 1), "uint8": ("B", 1),
+    "short": ("h", 2), "int16": ("h", 2),
+    "ushort": ("H", 2), "uint16": ("H", 2),
+    "int": ("i", 4), "int32": ("i", 4),
+    "uint": ("I", 4), "uint32": ("I", 4),
+    "float": ("f", 4), "float32": ("f", 4),
+    "double": ("d", 8), "float64": ("d", 8),
+}
+
+
+def load_ply(path: str):
+    """Parse ascii / binary_little_endian PLY.
+
+    Returns dict with 'verts' (V,3) f32 and optional 'normals', 'colors'
+    (f32 in [0,1]), 'faces' (F,3) i32 — whichever the file provides.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+
+    header_end = data.find(b"end_header")
+    if header_end < 0:
+        raise ValueError(f"not a PLY file: {path}")
+    header_end = data.find(b"\n", header_end) + 1
+    header = data[:header_end].decode("ascii", errors="replace").splitlines()
+    body = data[header_end:]
+
+    fmt = None
+    elements = []  # (name, count, [(prop_name, type, is_list, list_count_type)])
+    for line in header:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            elements.append((parts[1], int(parts[2]), []))
+        elif parts[0] == "property":
+            if parts[1] == "list":
+                elements[-1][2].append((parts[4], parts[3], True, parts[2]))
+            else:
+                elements[-1][2].append((parts[2], parts[1], False, None))
+
+    out: dict = {}
+    if fmt == "ascii":
+        tokens = body.decode("ascii").split()
+        pos = 0
+        for name, count, props in elements:
+            if count == 0:
+                continue
+            if any(p[2] for p in props):  # list property (faces)
+                rows = []
+                for _ in range(count):
+                    n = int(tokens[pos]); pos += 1
+                    rows.append([int(t) for t in tokens[pos : pos + n]])
+                    pos += n
+                out[name + "_lists"] = rows
+            else:
+                vals = np.array(
+                    tokens[pos : pos + count * len(props)], dtype=np.float64
+                ).reshape(count, len(props))
+                pos += count * len(props)
+                out[name] = (vals, [p[0] for p in props])
+    elif fmt == "binary_little_endian":
+        offset = 0
+        for name, count, props in elements:
+            if count == 0:
+                continue
+            if any(p[2] for p in props):
+                rows = []
+                for _ in range(count):
+                    (pname, ptype, _, ctype) = props[0]
+                    cfmt, csz = _PLY_TYPES[ctype]
+                    (n,) = struct.unpack_from("<" + cfmt, body, offset)
+                    offset += csz
+                    ifmt, isz = _PLY_TYPES[ptype]
+                    rows.append(
+                        list(struct.unpack_from("<" + ifmt * n, body, offset))
+                    )
+                    offset += isz * n
+                out[name + "_lists"] = rows
+            else:
+                fmt_str = "<" + "".join(_PLY_TYPES[p[1]][0] for p in props)
+                row_sz = struct.calcsize(fmt_str)
+                vals = np.array(
+                    [
+                        struct.unpack_from(fmt_str, body, offset + i * row_sz)
+                        for i in range(count)
+                    ],
+                    dtype=np.float64,
+                )
+                offset += row_sz * count
+                out[name] = (vals, [p[0] for p in props])
+    else:
+        raise ValueError(f"unsupported PLY format {fmt}")
+
+    result: dict = {}
+    if "vertex" in out:
+        vals, names = out["vertex"]
+        col = {n: vals[:, i] for i, n in enumerate(names)}
+        result["verts"] = np.stack([col["x"], col["y"], col["z"]], -1).astype(
+            np.float32
+        )
+        if "nx" in col:
+            n = np.stack([col["nx"], col["ny"], col["nz"]], -1)
+            norm = np.linalg.norm(n, axis=-1, keepdims=True)
+            if np.any(norm > 1e-9):
+                result["normals"] = (n / np.maximum(norm, 1e-9)).astype(np.float32)
+        if "red" in col:
+            result["colors"] = (
+                np.stack([col["red"], col["green"], col["blue"]], -1) / 255.0
+            ).astype(np.float32)
+    if "face_lists" in out:
+        tris = []
+        for row in out["face_lists"]:
+            for k in range(1, len(row) - 1):  # fan-triangulate
+                tris.append([row[0], row[k], row[k + 1]])
+        if tris:
+            result["faces"] = np.array(tris, dtype=np.int32)
+    return result
+
+
+def load_obj(path: str):
+    """Minimal OBJ loader: v / vn / f records; polygon faces fan-triangulated.
+
+    Vertex colors: supports the common 'v x y z r g b' extension; otherwise
+    callers get geometry only.
+    """
+    verts, normals, colors, faces = [], [], [], []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+                if len(parts) >= 7:
+                    colors.append([float(x) for x in parts[4:7]])
+            elif parts[0] == "vn":
+                normals.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    result = {"verts": np.array(verts, np.float32)}
+    if faces:
+        result["faces"] = np.array(faces, np.int32)
+    if colors and len(colors) == len(verts):
+        result["colors"] = np.array(colors, np.float32)
+    if normals and len(normals) == len(verts):
+        result["normals"] = np.array(normals, np.float32)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Geometry utilities
+# ---------------------------------------------------------------------------
+
+def compute_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    normals = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(normals, faces[:, k], fn)
+    norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+    return (normals / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def voxel_down_sample(points: np.ndarray, voxel: float) -> np.ndarray:
+    """Centroid-per-voxel downsampling (open3d voxel_down_sample semantics,
+    used at reference predict.py:131-133 with voxel=0.005)."""
+    keys = np.floor(points / voxel).astype(np.int64)
+    _, inv = np.unique(keys, axis=0, return_inverse=True)
+    n = inv.max() + 1
+    sums = np.zeros((n, 3), np.float64)
+    counts = np.zeros((n, 1), np.float64)
+    np.add.at(sums, inv, points)
+    np.add.at(counts, inv, 1.0)
+    return (sums / counts).astype(np.float32)
+
+
+def compute_cloud_diameter(points: np.ndarray) -> float:
+    """Max pairwise distance via convex hull (reference Utils.py:101-105)."""
+    pts = np.asarray(points, np.float64)
+    try:
+        from scipy.spatial import ConvexHull
+
+        hull_pts = pts[ConvexHull(pts).vertices]
+    except Exception:
+        hull_pts = pts
+    if len(hull_pts) > 4096:  # bound the quadratic pass
+        idx = np.linspace(0, len(hull_pts) - 1, 4096).astype(int)
+        hull_pts = hull_pts[idx]
+    d2 = ((hull_pts[:, None, :] - hull_pts[None, :, :]) ** 2).sum(-1)
+    return float(np.sqrt(d2.max()))
+
+
+def compute_obj_max_width(points: np.ndarray) -> float:
+    """Diameter in millimetres (reference Utils.py:450-451)."""
+    return compute_cloud_diameter(points) * 1000.0
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit coords -> 30-bit Morton codes."""
+    def split3(a):
+        a = a.astype(np.uint64) & 0x3FF
+        a = (a | (a << 16)) & np.uint64(0x30000FF)
+        a = (a | (a << 8)) & np.uint64(0x300F00F)
+        a = (a | (a << 4)) & np.uint64(0x30C30C3)
+        a = (a | (a << 2)) & np.uint64(0x9249249)
+        return a
+
+    return split3(x[:, 0]) | (split3(x[:, 1]) << np.uint64(1)) | (
+        split3(x[:, 2]) << np.uint64(2)
+    )
+
+
+def morton_order_faces(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Sort faces along a 3-D Morton curve of their centroids.
+
+    Static per mesh. Keeps each FACE_BLOCK of triangles spatially compact so
+    projected per-block screen bounds stay tight under any pose — the
+    rasterizer skips (pixel-tile, face-block) pairs whose bounds miss.
+    """
+    cen = verts[faces].mean(axis=1)
+    lo, hi = cen.min(0), cen.max(0)
+    q = ((cen - lo) / np.maximum(hi - lo, 1e-12) * 1023.0).astype(np.int64)
+    return faces[np.argsort(_morton3(q), kind="stable")]
+
+
+def build_trimesh(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None = None,
+    normals: np.ndarray | None = None,
+    block: int = FACE_BLOCK,
+) -> TriMesh:
+    """Pack loaded geometry into the rasterizer's static layout."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    if colors is None:
+        colors = np.full((len(verts), 3), 0.7, np.float32)
+    if normals is None:
+        normals = compute_vertex_normals(verts, faces)
+    faces = morton_order_faces(verts, faces)
+    num = len(faces)
+    padded = ((num + block - 1) // block) * block
+    if padded != num:
+        # Degenerate faces (all three indices 0) never cover any pixel.
+        pad = np.zeros((padded - num, 3), np.int32)
+        faces = np.concatenate([faces, pad], 0)
+    return TriMesh(
+        verts=verts,
+        faces=faces,
+        colors=np.asarray(colors, np.float32),
+        normals=np.asarray(normals, np.float32),
+        num_faces=num,
+    )
+
+
+def load_mesh(path: str) -> TriMesh:
+    """Load a PLY/OBJ file into a render-ready TriMesh."""
+    if path.endswith(".ply"):
+        d = load_ply(path)
+    elif path.endswith(".obj"):
+        d = load_obj(path)
+    else:
+        raise ValueError(f"unsupported mesh format: {path}")
+    if "faces" not in d or len(d["faces"]) == 0:
+        raise ValueError(
+            f"{path} has no faces (point cloud?) — cannot rasterize. "
+            "Use load_ply/load_obj directly for point data."
+        )
+    return build_trimesh(
+        d["verts"], d["faces"], d.get("colors"), d.get("normals")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Procedural meshes (tests, demos, synthetic data generation)
+# ---------------------------------------------------------------------------
+
+def make_cube(size: float = 0.1, color=(0.8, 0.2, 0.2)) -> TriMesh:
+    """Axis-aligned cube centered at origin with per-face-correct normals
+    (vertices duplicated per face)."""
+    s = size / 2.0
+    corners = np.array(
+        [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
+        np.float32,
+    )
+    # 6 faces as corner-index quads (+x,-x,+y,-y,+z,-z), outward CCW.
+    quads = [
+        (4, 6, 7, 5), (0, 1, 3, 2),
+        (2, 3, 7, 6), (0, 4, 5, 1),
+        (1, 5, 7, 3), (0, 2, 6, 4),
+    ]
+    verts, faces, normals = [], [], []
+    for q in quads:
+        base = len(verts)
+        pts = corners[list(q)]
+        n = np.cross(pts[1] - pts[0], pts[2] - pts[0])
+        n = n / np.linalg.norm(n)
+        verts.extend(pts)
+        normals.extend([n] * 4)
+        faces.append([base, base + 1, base + 2])
+        faces.append([base, base + 2, base + 3])
+    verts = np.array(verts, np.float32)
+    colors = np.tile(np.array(color, np.float32), (len(verts), 1))
+    return build_trimesh(verts, np.array(faces, np.int32), colors,
+                         np.array(normals, np.float32))
+
+
+def make_icosphere(subdiv: int = 3, radius: float = 0.05,
+                   color=(0.2, 0.6, 0.9)) -> TriMesh:
+    """Icosphere by midpoint subdivision (subdiv=3 -> 1280 faces)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    for _ in range(subdiv):
+        cache: dict = {}
+        vlist = list(verts)
+
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = (verts[i] + verts[j]) / 2.0
+                m /= np.linalg.norm(m)
+                cache[key] = len(vlist)
+                vlist.append(m)
+            return cache[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.array(vlist)
+        faces = np.array(new_faces, np.int64)
+
+    normals = verts.astype(np.float32)
+    verts = (verts * radius).astype(np.float32)
+    # Procedural banded color so renders have gradient structure to learn.
+    colors = np.stack(
+        [
+            0.5 + 0.5 * np.sin(normals[:, 0] * 6.0),
+            0.5 + 0.5 * np.sin(normals[:, 1] * 6.0 + 1.0),
+            0.5 + 0.5 * np.sin(normals[:, 2] * 6.0 + 2.0),
+        ],
+        -1,
+    ).astype(np.float32)
+    colors = 0.3 * np.array(color, np.float32) + 0.7 * colors
+    return build_trimesh(verts, faces.astype(np.int32), colors, normals)

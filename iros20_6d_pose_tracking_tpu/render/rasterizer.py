@@ -1,0 +1,296 @@
+"""TPU-native triangle rasterizer (z-buffered, ROI-windowed, diffuse-shaded).
+
+Replaces the reference's OpenGL pipelines — the GLSL shaders + FBO readback
+(reference vispy_renderer.py:54-101,152-178) and the pyrender offscreen
+renderer (reference offscreen_renderer.py:48-83) — with a pure-XLA program
+that stays on device inside the jitted tracking step.
+
+Key design points (TPU-first):
+  - The ROI window is rendered DIRECTLY at the output resolution, like the
+    reference's ortho(window) x perspective(K) trick
+    (reference vispy_renderer.py:135-150): the dynamic window enters only
+    as scalars in the pixel->ray mapping, so all shapes stay static.
+  - Rasterization is a brute-force (pixel x triangle) sweep evaluated
+    blockwise: triangles are Morton-ordered at mesh load (render/mesh.py)
+    so each FACE_BLOCK is spatially compact, and a per-block screen-bbox
+    test lets ``lax.cond`` skip blocks that miss the window entirely.
+    This is the compiler-friendly alternative to GL's hardware binning.
+  - Z-test uses screen-linear 1/z interpolation; attributes are
+    perspective-correct. A two-pass split (pass 1: winner index per pixel;
+    pass 2: shade only the winner) keeps the hot loop at a handful of
+    VPU ops per (pixel, triangle) pair.
+  - Poses/camera math pins HIGHEST matmul precision (TPU default matmul
+    precision is too coarse for geometry).
+
+Depth output follows the reference convention: metric millimetres, 0 where
+no surface or outside (near, far) = (0.1, 2.0) m
+(reference vispy_renderer.py:139-140,164-169).
+
+Lighting matches the reference's constants — diffuse 0.4 x max(n . l, 0)
++ ambient 0.65, clamped (reference vispy_renderer.py:66-75) — with a
+camera-attached light (reference render_image computes an equivalent
+camera-following light direction, vispy_renderer.py:171-173).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .mesh import FACE_BLOCK, TriMesh
+
+_PREC = jax.lax.Precision.HIGHEST
+
+NEAR_M = 0.1
+FAR_M = 2.0
+AMBIENT = 0.65
+DIFFUSE = 0.4
+# Camera-space light offset (headlight slightly above optical axis); plays
+# the role of the reference's camera-following light (vispy_renderer.py:172).
+LIGHT_CAM = (0.0, -0.1, -0.9)
+
+
+class MeshArrays(NamedTuple):
+    """Device-resident static mesh data."""
+
+    verts: jax.Array    # (V, 3) f32
+    faces: jax.Array    # (F, 3) i32, F multiple of FACE_BLOCK
+    colors: jax.Array   # (V, 3) f32 albedo in [0,1]
+    normals: jax.Array  # (V, 3) f32
+    fmask: jax.Array    # (F,) bool — False for padding rows. Explicit mask
+                        # because FMA contraction under XLA makes a
+                        # degenerate face's area a nonzero ulp-scale value,
+                        # so an area==0 test is not a reliable pad filter.
+
+
+def upload(mesh: TriMesh) -> MeshArrays:
+    fmask = jnp.arange(mesh.faces.shape[0]) < mesh.num_faces
+    return MeshArrays(
+        verts=jnp.asarray(mesh.verts),
+        faces=jnp.asarray(mesh.faces),
+        colors=jnp.asarray(mesh.colors),
+        normals=jnp.asarray(mesh.normals),
+        fmask=fmask,
+    )
+
+
+def full_frame_window(width: int, height: int):
+    """Window covering the full image with integer-centered pixels."""
+    return (-0.5, width - 0.5, -0.5, height - 0.5)
+
+
+def window_from_bbox(bbox: jax.Array):
+    """(left, right, top, bottom) floats from a (4,2) int (v,u) bbox
+    (the compute_bbox output, ops/roi.py)."""
+    left = jnp.min(bbox[:, 1]).astype(jnp.float32)
+    right = jnp.max(bbox[:, 1]).astype(jnp.float32)
+    top = jnp.min(bbox[:, 0]).astype(jnp.float32)
+    bottom = jnp.max(bbox[:, 0]).astype(jnp.float32)
+    return left, right, top, bottom
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_hw", "face_block", "skip_blocks")
+)
+def render(
+    mesh: MeshArrays,
+    pose: jax.Array,
+    K: jax.Array,
+    window,
+    out_hw: tuple[int, int] = (176, 176),
+    near: float = NEAR_M,
+    far: float = FAR_M,
+    face_block: int = FACE_BLOCK,
+    skip_blocks: bool = True,
+):
+    """Render the mesh at ``pose`` (CV camera frame) into the ROI window.
+
+    Args:
+      pose: (4, 4) object-in-camera (OpenCV convention: x right, y down,
+        z forward). No GL flips anywhere — the reference's
+        glcam_in_cvcam conversions (predict.py:197-202) are unnecessary
+        because we rasterize in CV coordinates natively.
+      window: (left, right, top, bottom) scalars in full-image pixel
+        coordinates; the output grid resamples this rect at out_hw.
+      out_hw: static (H, W) output resolution.
+
+    Returns:
+      rgb: (H, W, 3) float32 in [0, 255]
+      depth_mm: (H, W) float32 metric depth in millimetres (0 = no hit)
+    """
+    H, W = out_hw
+    left, right, top, bottom = [jnp.asarray(w, jnp.float32) for w in window]
+
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    # Camera-space vertices.
+    xc = (
+        jnp.einsum("vj,ij->vi", mesh.verts, R, precision=_PREC) + t[None, :]
+    )  # (V, 3)
+    z = xc[:, 2]
+    valid_v = z > near
+    safe_z = jnp.where(valid_v, z, 1.0)
+    inv_z = jnp.where(valid_v, 1.0 / safe_z, 0.0)
+    u = xc[:, 0] * K[0, 0] * inv_z + K[0, 2]
+    v = xc[:, 1] * K[1, 1] * inv_z + K[1, 2]
+    # Window pixel space: output pixel (i, j) has center (j, i).
+    sx = W / (right - left)
+    sy = H / (bottom - top)
+    px = (u - left) * sx - 0.5
+    py = (v - top) * sy - 0.5
+
+    # Per-face packed screen data.
+    f = mesh.faces  # (F, 3)
+    fx = px[f]      # (F, 3)
+    fy = py[f]
+    fiz = inv_z[f]
+    fvalid = valid_v[f].all(axis=1) & mesh.fmask
+
+    # Pixel grid (flattened).
+    gx = jnp.arange(W, dtype=jnp.float32)
+    gy = jnp.arange(H, dtype=jnp.float32)
+    pxg, pyg = jnp.meshgrid(gx, gy)  # (H, W)
+    pix_x = pxg.reshape(-1)  # (P,)
+    pix_y = pyg.reshape(-1)
+    P = H * W
+
+    F = f.shape[0]
+    n_blocks = F // face_block
+
+    def raster_block(carry, blk):
+        zmin, widx = carry
+        s = blk * face_block
+        bx = jax.lax.dynamic_slice_in_dim(fx, s, face_block, 0)  # (Fb, 3)
+        by = jax.lax.dynamic_slice_in_dim(fy, s, face_block, 0)
+        biz = jax.lax.dynamic_slice_in_dim(fiz, s, face_block, 0)
+        bok = jax.lax.dynamic_slice_in_dim(fvalid, s, face_block, 0)
+
+        def body(zmin, widx):
+            # Edge coefficients, one linear form per vertex weight:
+            #   e_k(p) = cross(p_{k+1} -> p_{k+2}, p - p_{k+1})
+            x0, x1, x2 = bx[:, 0], bx[:, 1], bx[:, 2]
+            y0, y1, y2 = by[:, 0], by[:, 1], by[:, 2]
+            a0, b0 = y1 - y2, x2 - x1
+            c0 = x1 * y2 - x2 * y1
+            a1, b1 = y2 - y0, x0 - x2
+            c1 = x2 * y0 - x0 * y2
+            a2, b2 = y0 - y1, x1 - x0
+            c2 = x0 * y1 - x1 * y0
+            area = a0 * x0 + b0 * y0 + c0  # = 2 * signed area
+            s_sign = jnp.where(area >= 0, 1.0, -1.0)
+            inv_area = jnp.where(jnp.abs(area) > 1e-4, 1.0 / area, 0.0)
+            ok = bok & (jnp.abs(area) > 1e-4)
+
+            # (P, Fb) edge evaluations. XLA fuses these FMAs; the Pallas
+            # kernel (pallas_raster.py) evaluates the same forms on the MXU.
+            e0 = pix_x[:, None] * a0[None, :] + pix_y[:, None] * b0[None, :] + c0[None, :]
+            e1 = pix_x[:, None] * a1[None, :] + pix_y[:, None] * b1[None, :] + c1[None, :]
+            e2 = pix_x[:, None] * a2[None, :] + pix_y[:, None] * b2[None, :] + c2[None, :]
+            cover = (
+                (e0 * s_sign[None, :] >= 0)
+                & (e1 * s_sign[None, :] >= 0)
+                & (e2 * s_sign[None, :] >= 0)
+                & ok[None, :]
+            )
+            inv_z_pix = (
+                e0 * (biz[:, 0] * inv_area)[None, :]
+                + e1 * (biz[:, 1] * inv_area)[None, :]
+                + e2 * (biz[:, 2] * inv_area)[None, :]
+            )
+            zc = jnp.where(cover & (inv_z_pix > 1e-9), 1.0 / jnp.maximum(inv_z_pix, 1e-9), jnp.inf)
+            blk_min = jnp.min(zc, axis=1)
+            blk_arg = jnp.argmin(zc, axis=1).astype(jnp.int32) + s
+            take = blk_min < zmin
+            return jnp.where(take, blk_min, zmin), jnp.where(take, blk_arg, widx)
+
+        if skip_blocks:
+            # Skip blocks whose projected bbox misses the window.
+            bb_ok = bok & (jnp.abs(bx).max(axis=1) < 1e7)
+            any_ok = bb_ok.any()
+            min_x = jnp.where(bb_ok, bx.min(axis=1), jnp.inf).min()
+            max_x = jnp.where(bb_ok, bx.max(axis=1), -jnp.inf).max()
+            min_y = jnp.where(bb_ok, by.min(axis=1), jnp.inf).min()
+            max_y = jnp.where(bb_ok, by.max(axis=1), -jnp.inf).max()
+            hit = (
+                any_ok
+                & (max_x >= 0.0) & (min_x <= W - 1.0)
+                & (max_y >= 0.0) & (min_y <= H - 1.0)
+            )
+            zmin, widx = jax.lax.cond(hit, body, lambda a, b: (a, b), zmin, widx)
+        else:
+            zmin, widx = body(zmin, widx)
+        return (zmin, widx), None
+
+    init = (jnp.full((P,), jnp.inf, jnp.float32), jnp.zeros((P,), jnp.int32))
+    (zmin, winner), _ = jax.lax.scan(
+        raster_block, init, jnp.arange(n_blocks), unroll=1
+    )
+    hit = jnp.isfinite(zmin) & (zmin < far)
+
+    # ---- pass 2: shade the winning triangle per pixel -------------------
+    wf = f[winner]  # (P, 3) vertex ids
+    wx = px[wf]
+    wy = py[wf]
+    wiz = inv_z[wf]
+    # Barycentric at the pixel (same edge forms as pass 1).
+    x0, x1, x2 = wx[:, 0], wx[:, 1], wx[:, 2]
+    y0, y1, y2 = wy[:, 0], wy[:, 1], wy[:, 2]
+    e0 = (y1 - y2) * pix_x + (x2 - x1) * pix_y + (x1 * y2 - x2 * y1)
+    e1 = (y2 - y0) * pix_x + (x0 - x2) * pix_y + (x2 * y0 - x0 * y2)
+    e2 = (y0 - y1) * pix_x + (x1 - x0) * pix_y + (x0 * y1 - x1 * y0)
+    area = e0 + e1 + e2
+    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+    w0, w1, w2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
+    # Perspective-correct interpolation weights q_k = w_k / z_k.
+    q0, q1, q2 = w0 * wiz[:, 0], w1 * wiz[:, 1], w2 * wiz[:, 2]
+    qsum = jnp.maximum(q0 + q1 + q2, 1e-12)
+
+    def interp(vattr):  # (V, C) -> (P, C)
+        a = vattr[wf]  # (P, 3, C)
+        return (
+            a[:, 0] * q0[:, None] + a[:, 1] * q1[:, None] + a[:, 2] * q2[:, None]
+        ) / qsum[:, None]
+
+    albedo = interp(mesh.colors)
+    n_obj = interp(mesh.normals)
+    p_obj = interp(mesh.verts)
+    # Shade in camera space with a camera-attached point light.
+    n_cam = jnp.einsum("pj,ij->pi", n_obj, R, precision=_PREC)
+    n_cam = n_cam / jnp.maximum(
+        jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-9
+    )
+    p_cam = jnp.einsum("pj,ij->pi", p_obj, R, precision=_PREC) + t[None, :]
+    l_vec = jnp.asarray(LIGHT_CAM, jnp.float32)[None, :] - p_cam
+    l_dir = l_vec / jnp.maximum(jnp.linalg.norm(l_vec, axis=-1, keepdims=True), 1e-9)
+    ndotl = jnp.maximum(jnp.sum(n_cam * l_dir, axis=-1), 0.0)
+    shade = jnp.clip(
+        albedo * (AMBIENT + DIFFUSE * ndotl)[:, None], 0.0, 1.0
+    )
+
+    rgb = jnp.where(hit[:, None], shade * 255.0, 0.0).reshape(H, W, 3)
+    depth_mm = jnp.where(hit, zmin * 1000.0, 0.0).reshape(H, W)
+    return rgb, depth_mm
+
+
+def render_at_bbox(
+    mesh: MeshArrays,
+    pose: jax.Array,
+    K: jax.Array,
+    object_width_mm,
+    out_hw: tuple[int, int] = (176, 176),
+    **kw,
+):
+    """Render the pose-conditioned ROI (the tracker's A branch).
+
+    Computes the same square mm window as the reference
+    (compute_bbox with scale=(1000,1000,1000), predict.py:232) and renders
+    it directly.
+    """
+    from ..ops import roi
+
+    bbox = roi.compute_bbox(pose, K, object_width_mm, (1000.0, 1000.0, 1000.0))
+    window = window_from_bbox(bbox)
+    rgb, depth = render(mesh, pose, K, window, out_hw, **kw)
+    return rgb, depth, bbox
