@@ -1,0 +1,295 @@
+"""The fused render->crop->normalize->CNN->compose tracking step.
+
+This is the framework's flagship path: the reference's per-frame pipeline
+(reference predict.py:217-296 ``Tracker.on_track``) crosses the host/GPU
+boundary several times per frame (GL render + readback, cv2 crop, CUDA
+forward, numpy pose update). Here the ENTIRE step is one jitted XLA
+program; video tracking runs the step under ``jax.lax.scan`` with the pose
+as carried state (the temporal recurrence is inherently sequential —
+SURVEY.md section 5 "long-context" note).
+
+Preprocessing parity:
+  - ROI: square ``object_width`` mm bbox at the projected previous pose
+    (reference Utils.py:302-316, predict.py:232).
+  - B branch: nearest crop-resize of the observed RGB-D
+    (reference Utils.py:320-359).
+  - A branch: ROI-windowed render of the CAD model at the previous pose
+    (reference predict.py:193-215).
+  - OffsetDepth: subtract pose z (mm), invalid->2000
+    (reference data_augmentation.py:124-144).
+  - NormalizeChannels with the 8-channel training mean/std
+    (reference data_augmentation.py:148-164).
+  - Pose decode: tanh outputs x normalizers, Rodrigues compose
+    (reference datasets.py:159-175).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..models import tracknet
+from ..ops import roi as roi_ops
+from ..ops import depthproc
+from ..render import rasterizer as rz
+from ..render.mesh import TriMesh
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Static configuration of the tracking step (hashable for jit)."""
+
+    resolution: int = 176
+    trans_normalizer: float = 0.03          # reference predict.py:128 default
+    rot_normalizer: float = 5 * np.pi / 180
+    object_width_mm: float = 250.0          # diameter*1000*(1+bbox%) predict.py:136-142
+    near: float = rz.NEAR_M
+    far: float = rz.FAR_M
+    dtype: Any = jnp.float32                # bf16 on TPU for the CNN
+
+
+def pack_channels(rgb, depth):
+    """RGB (H,W,3) + depth (H,W) -> (H,W,4) float32 (reference
+    data_augmentation.py:175-196 ToTensor, NHWC instead of CHW)."""
+    return jnp.concatenate([rgb, depth[..., None]], axis=-1).astype(jnp.float32)
+
+
+def normalize_pair(rgbA, depthA, rgbB, depthB, poseA, mean, std):
+    """OffsetDepth + NormalizeChannels + pack, both branches.
+
+    mean/std are the 8-channel training statistics (A rgbd, B rgbd) —
+    reference train.py:106-125 / data_augmentation.py:148-164.
+    """
+    dA = depthproc.offset_depth(depthA, poseA)
+    dB = depthproc.offset_depth(depthB, poseA)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    bufA = pack_channels(rgbA, dA)
+    bufB = pack_channels(rgbB, dB)
+    bufA = (bufA - mean[:4]) / std[:4]
+    bufB = (bufB - mean[4:]) / std[4:]
+    return bufA, bufB
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def track_step(
+    model: tracknet.Se3TrackNet,
+    cfg: TrackerConfig,
+    variables,
+    mesh: rz.MeshArrays,
+    K: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    prev_pose: jax.Array,
+    frame_rgb: jax.Array,
+    frame_depth_mm: jax.Array,
+):
+    """One tracking update. All device-side; returns the new 4x4 pose.
+
+    Args:
+      prev_pose: (4, 4) previous object-in-camera estimate.
+      frame_rgb: (H, W, 3) current frame, float32 in [0, 255].
+      frame_depth_mm: (H, W) current depth in millimetres (float32).
+
+    Returns:
+      new_pose (4, 4), plus a dict of intermediates for debugging/viz.
+    """
+    res = (cfg.resolution, cfg.resolution)
+    bbox = roi_ops.compute_bbox(
+        prev_pose, K, cfg.object_width_mm, (1000.0, 1000.0, 1000.0)
+    )
+    # Observed branch (B): crop + nearest-resize the real frame.
+    rgbB, depthB = roi_ops.crop_bbox(frame_rgb, frame_depth_mm, bbox, res)
+    # Rendered branch (A): rasterize the CAD model straight into the window.
+    window = rz.window_from_bbox(bbox)
+    rgbA, depthA = rz.render(
+        mesh, prev_pose, K, window, out_hw=res, near=cfg.near, far=cfg.far
+    )
+    bufA, bufB = normalize_pair(rgbA, depthA, rgbB, depthB, prev_pose, mean, std)
+    out = model.apply(variables, bufA[None], bufB[None], train=False)
+    new_pose = se3.decode_delta(
+        prev_pose,
+        out["trans"][0],
+        out["rot"][0],
+        cfg.trans_normalizer,
+        cfg.rot_normalizer,
+    )
+    aux = {"rgbA": rgbA, "depthA": depthA, "rgbB": rgbB, "depthB": depthB,
+           "trans": out["trans"][0], "rot": out["rot"][0]}
+    return new_pose, aux
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def track_video(
+    model: tracknet.Se3TrackNet,
+    cfg: TrackerConfig,
+    variables,
+    mesh: rz.MeshArrays,
+    K: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    init_pose: jax.Array,
+    frames_rgb: jax.Array,       # (T, H, W, 3)
+    frames_depth_mm: jax.Array,  # (T, H, W)
+):
+    """Track a preloaded video with ``lax.scan`` (one compile, zero host
+    round-trips). Returns (T, 4, 4) per-frame poses — the output protocol
+    the eval drivers save as txt (reference predict.py:564)."""
+
+    def step(pose, frame):
+        rgb, depth = frame
+        new_pose, _ = track_step(
+            model, cfg, variables, mesh, K, mean, std, pose, rgb, depth
+        )
+        return new_pose, new_pose
+
+    _, poses = jax.lax.scan(step, init_pose, (frames_rgb, frames_depth_mm))
+    return poses
+
+
+class Tracker:
+    """Host-facing tracker with the reference's API shape
+    (reference predict.py:127-296).
+
+    Construction mirrors ``Tracker(dataset_info, images_mean, images_std,
+    ckpt_dir, model_path, trans_normalizer, rot_normalizer)``; per-frame
+    usage mirrors ``on_track(prev_pose, rgb, depth, ...) -> 4x4 pose``.
+    """
+
+    def __init__(
+        self,
+        dataset_info: dict,
+        images_mean: np.ndarray,
+        images_std: np.ndarray,
+        ckpt_dir: str | None = None,
+        model_path: str | None = None,
+        trans_normalizer: float = 0.03,
+        rot_normalizer: float = 5 * np.pi / 180,
+        mesh: TriMesh | None = None,
+        variables=None,
+        dtype=jnp.float32,
+    ):
+        from ..render import mesh as mesh_mod
+
+        self.dataset_info = dataset_info
+        res = int(dataset_info["resolution"])
+        cam = dataset_info["camera"]
+        self.K = jnp.array(
+            [
+                [cam["focalX"], 0, cam["centerX"]],
+                [0, cam["focalY"], cam["centerY"]],
+                [0, 0, 1],
+            ],
+            jnp.float32,
+        )
+
+        if mesh is None:
+            if model_path is None:
+                raise ValueError("need model_path or a prebuilt mesh")
+            mesh = mesh_mod.load_mesh(model_path)
+        self.trimesh = mesh
+        self.mesh = rz.upload(mesh)
+
+        # object width: cloud diameter (voxel-downsampled 5mm) + bbox% pad,
+        # reference predict.py:131-142.
+        if "object_width" in dataset_info:
+            object_width = float(dataset_info["object_width"])
+        else:
+            cloud = mesh_mod.voxel_down_sample(mesh.verts, 0.005)
+            self.object_cloud = cloud
+            max_width = mesh_mod.compute_obj_max_width(cloud)
+            pad = dataset_info.get("boundingbox", 0.0)
+            object_width = max_width * (1.0 + pad / 100.0)
+        self.object_width = object_width
+
+        self.cfg = TrackerConfig(
+            resolution=res,
+            trans_normalizer=float(trans_normalizer),
+            rot_normalizer=float(rot_normalizer),
+            object_width_mm=float(object_width),
+            dtype=dtype,
+        )
+        self.model = tracknet.Se3TrackNet(image_size=res, dtype=dtype)
+
+        if variables is not None:
+            self.variables = variables
+        elif ckpt_dir is not None:
+            self.variables = _load_any_checkpoint(ckpt_dir)
+        else:
+            self.variables = tracknet.init_variables(
+                self.model, jax.random.PRNGKey(0)
+            )
+
+        self.mean = jnp.asarray(images_mean, jnp.float32)
+        self.std = jnp.asarray(images_std, jnp.float32)
+        self.frame_cnt = 0
+        self.errs: list = []
+        self.prev_rgb = None
+        self.prev_depth = None
+
+    def on_track(
+        self,
+        prev_pose: np.ndarray,
+        current_rgb: np.ndarray,
+        current_depth,
+        gt_A_in_cam=None,
+        gt_B_in_cam=None,
+        debug: bool = False,
+        samples: int = 1,
+    ) -> np.ndarray:
+        """One tracking update; depth in metres (float) or millimetres
+        (uint16), auto-detected like the reference's mm convention."""
+        depth = np.asarray(current_depth, np.float32)
+        if depth.dtype != np.uint16 and depth.max() < 100.0:
+            depth = depth * 1000.0  # metres -> mm
+        new_pose, aux = track_step(
+            self.model,
+            self.cfg,
+            self.variables,
+            self.mesh,
+            self.K,
+            self.mean,
+            self.std,
+            jnp.asarray(prev_pose, jnp.float32),
+            jnp.asarray(current_rgb, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
+        )
+        self.prev_rgb = current_rgb
+        self.prev_depth = depth
+        self.frame_cnt += 1
+        if debug:
+            self.last_aux = jax.tree.map(np.asarray, aux)
+        return np.asarray(new_pose)
+
+    def track_video(self, init_pose, frames_rgb, frames_depth_mm):
+        """Whole-video scan (preloaded frames). Returns (T, 4, 4) numpy."""
+        poses = track_video(
+            self.model,
+            self.cfg,
+            self.variables,
+            self.mesh,
+            self.K,
+            self.mean,
+            self.std,
+            jnp.asarray(init_pose, jnp.float32),
+            jnp.asarray(frames_rgb, jnp.float32),
+            jnp.asarray(frames_depth_mm, jnp.float32),
+        )
+        return np.asarray(poses)
+
+
+def _load_any_checkpoint(path: str):
+    """Load Flax-native (train/checkpoint.py) or reference .pth.tar."""
+    if path.endswith((".pth", ".tar")) or ".pth." in path:
+        from ..models.torch_import import load_reference_checkpoint
+
+        return load_reference_checkpoint(path)
+    from ..train.checkpoint import load_checkpoint
+
+    state = load_checkpoint(path)
+    return {"params": state["params"], "batch_stats": state["batch_stats"]}

@@ -1,0 +1,104 @@
+"""Tracking-step plumbing tests (zero-delta identity, scan, API parity)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iros20_6d_pose_tracking_tpu.models import tracknet
+from iros20_6d_pose_tracking_tpu.render import mesh as M
+from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+RES = 64
+K = np.array([[300.0, 0, 32.0], [0, 300.0, 32.0], [0, 0, 1.0]], np.float32)
+
+
+def _setup(zero_heads=False):
+    model = tracknet.Se3TrackNet(image_size=RES)
+    variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
+    if zero_heads:
+        params = variables["params"]
+        for head in ("trans_out", "rot_out"):
+            params[head]["kernel"] = jnp.zeros_like(params[head]["kernel"])
+            params[head]["bias"] = jnp.zeros_like(params[head]["bias"])
+        variables = {"params": params, "batch_stats": variables["batch_stats"]}
+    mesh = rz.upload(M.make_icosphere(subdiv=2, radius=0.05))
+    cfg = trk.TrackerConfig(resolution=RES, object_width_mm=110.0)
+    mean = jnp.zeros(8)
+    std = jnp.ones(8) * 100.0
+    return model, cfg, variables, mesh, mean, std
+
+
+def _frame(mesh, pose):
+    rgb, depth = rz.render(
+        mesh, jnp.asarray(pose, jnp.float32), jnp.array(K),
+        rz.full_frame_window(64, 64), out_hw=(64, 64),
+    )
+    return rgb, depth
+
+
+def test_zero_head_keeps_pose():
+    """tanh(0)=0 delta must decode to exactly the previous pose
+    (datasets.py:159-175 inverse codec)."""
+    model, cfg, variables, mesh, mean, std = _setup(zero_heads=True)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    rgb, depth = _frame(mesh, pose)
+    new_pose, aux = trk.track_step(
+        model, cfg, variables, mesh, jnp.array(K), mean, std,
+        jnp.array(pose), rgb, depth,
+    )
+    np.testing.assert_allclose(np.array(new_pose), pose, atol=1e-6)
+    # The rendered branch actually rendered the object.
+    assert np.array(aux["depthA"]).max() > 0
+    assert np.array(aux["depthB"]).max() > 0
+
+
+def test_track_step_bounded_update():
+    """Any network output is tanh-bounded: pose change <= normalizers."""
+    model, cfg, variables, mesh, mean, std = _setup()
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.02, -0.01, 0.55]
+    rgb, depth = _frame(mesh, pose)
+    new_pose, _ = trk.track_step(
+        model, cfg, variables, mesh, jnp.array(K), mean, std,
+        jnp.array(pose), rgb, depth,
+    )
+    dt = np.linalg.norm(np.array(new_pose)[:3, 3] - pose[:3, 3])
+    assert dt <= np.sqrt(3) * cfg.trans_normalizer + 1e-6
+
+
+def test_track_video_scan():
+    model, cfg, variables, mesh, mean, std = _setup(zero_heads=True)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0, 0, 0.5]
+    rgb, depth = _frame(mesh, pose)
+    frames_rgb = jnp.stack([rgb] * 4)
+    frames_depth = jnp.stack([depth] * 4)
+    poses = trk.track_video(
+        model, cfg, variables, mesh, jnp.array(K), mean, std,
+        jnp.array(pose), frames_rgb, frames_depth,
+    )
+    assert poses.shape == (4, 4, 4)
+    np.testing.assert_allclose(np.array(poses[-1]), pose, atol=1e-6)
+
+
+def test_tracker_class_api():
+    """Reference-shaped constructor + on_track (predict.py:127-296)."""
+    dataset_info = {
+        "camera": {"focalX": 300.0, "focalY": 300.0, "centerX": 32.0,
+                   "centerY": 32.0, "width": 64, "height": 64},
+        "resolution": RES,
+        "boundingbox": 10,
+    }
+    sphere = M.make_icosphere(subdiv=2, radius=0.05)
+    t = trk.Tracker(
+        dataset_info, np.zeros(8), np.ones(8) * 100.0, mesh=sphere,
+    )
+    # object width from diameter + 10% pad: ~110 mm.
+    assert 95.0 < t.object_width < 125.0
+    pose = np.eye(4)
+    pose[:3, 3] = [0, 0, 0.5]
+    rgb, depth = _frame(t.mesh, pose.astype(np.float32))
+    out = t.on_track(pose, np.array(rgb), np.array(depth))
+    assert out.shape == (4, 4)
+    assert abs(out[2, 3] - 0.5) < t.cfg.trans_normalizer + 1e-6
