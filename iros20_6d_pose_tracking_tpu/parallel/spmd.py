@@ -1,0 +1,147 @@
+"""SPMD scale-out over a jax.sharding.Mesh (ICI collectives via GSPMD).
+
+The reference is strictly single-GPU (SURVEY.md section 2 "Parallelism"),
+so nothing here is needed for parity — this is the TPU-native scale-out
+layer:
+
+  - **dp**: batch data parallelism. Params replicated, batch sharded on
+    the 'dp' axis; XLA inserts the gradient all-reduce over ICI.
+  - **obj** (expert-style): per-object model ensemble. se(3)-TrackNet is
+    trained PER OBJECT (reference trains one network per CAD model,
+    README/dataset_info protocol), so the natural multi-chip axis is one
+    model per mesh slice: params carry a leading object axis sharded on
+    'obj', batches carry (obj, batch, ...) sharded ('obj', 'dp').
+
+Both composit into a 2-D ('obj', 'dp') mesh. Tracking scale-out:
+``batched_track_videos`` vmaps the fused tracking scan over many videos
+and shards them across devices (throughput mode).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train import trainer as tr
+
+
+def make_mesh(n_devices: int | None = None, obj: int = 1,
+              devices=None) -> Mesh:
+    """('obj', 'dp') mesh over the first n devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % obj == 0, f"{n} devices not divisible into obj={obj}"
+    arr = np.array(devices).reshape(obj, n // obj)
+    return Mesh(arr, ("obj", "dp"))
+
+
+def _leaf_spec(mesh: Mesh, leading_axis: str | None):
+    def spec(x):
+        if leading_axis is not None and getattr(x, "ndim", 0) >= 1:
+            return NamedSharding(mesh, P(leading_axis))
+        return NamedSharding(mesh, P())
+
+    return spec
+
+
+def shard_pytree(tree, mesh: Mesh, leading_axis: str | None):
+    """Place a pytree on the mesh, sharding leading axes on
+    ``leading_axis`` (None = fully replicated)."""
+    spec = _leaf_spec(mesh, leading_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, spec(x)), tree)
+
+
+def dp_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh):
+    """Pure data-parallel train step: replicated params, 'dp'-sharded batch.
+
+    Returns a jitted function (state, key, raw_batch, mean, std) ->
+    (state, metrics). The batch's leading dim must be divisible by the
+    total mesh size (both axes are used for data here).
+    """
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(("obj", "dp")))
+
+    def step(state, key, raw_batch, mean, std):
+        raw_batch = jax.lax.with_sharding_constraint(
+            raw_batch, jax.tree.map(lambda _: batch_sh, raw_batch)
+        )
+        return tr.train_step_impl(model, tx, cfg, state, key, raw_batch,
+                                  mean, std)
+
+    def constrained(state, key, raw_batch, mean, std):
+        new_state, metrics = step(state, key, raw_batch, mean, std)
+        # Keep params replicated on output (GSPMD would otherwise be free
+        # to leave them in whatever layout the all-reduce produced).
+        new_state = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl), new_state
+        )
+        return new_state, metrics
+
+    return jax.jit(constrained, donate_argnums=(0,))
+
+
+def ensemble_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh):
+    """Object-ensemble (EP) x data-parallel (DP) train step.
+
+    State/keys carry a leading object axis sharded on 'obj'; batches are
+    (obj, batch, ...) sharded ('obj', 'dp'); mean/std are shared. One jit;
+    GSPMD lowers to per-slice compute + ICI all-reduce inside each
+    object's dp group.
+    """
+    vstep = jax.vmap(
+        functools.partial(tr.train_step_impl, model, tx, cfg),
+        in_axes=(0, 0, 0, None, None),
+    )
+    obj_sh = _leaf_spec(mesh, "obj")
+    batch_sh = NamedSharding(mesh, P("obj", "dp"))
+    repl = NamedSharding(mesh, P())
+
+    def step(state, keys, raw_batch, mean, std):
+        state = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, obj_sh(x)), state
+        )
+        raw_batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_sh), raw_batch
+        )
+        mean = jax.lax.with_sharding_constraint(mean, repl)
+        std = jax.lax.with_sharding_constraint(std, repl)
+        return vstep(state, keys, raw_batch, mean, std)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def stack_states(states: list) -> Any:
+    """Stack per-object TrainStates into an ensemble (leading obj axis)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def batched_track_videos(model, cfg, mesh: Mesh):
+    """Shard V videos of one object across the mesh and scan each video's
+    frames on its device — multi-video tracking throughput mode. The
+    per-frame recurrence stays sequential (it must — frame t needs frame
+    t-1's pose); parallelism is across videos, never across time
+    (SURVEY.md section 5)."""
+    from ..tracking import tracker as trk
+
+    vtrack = jax.vmap(
+        functools.partial(trk.track_video, model, cfg),
+        in_axes=(None, None, None, None, None, 0, 0, 0),
+    )
+    vid_sh = NamedSharding(mesh, P(("obj", "dp")))
+
+    def run(variables, mesh_arrays, K, mean, std, init_poses, frames_rgb,
+            frames_depth):
+        init_poses = jax.lax.with_sharding_constraint(init_poses, vid_sh)
+        frames_rgb = jax.lax.with_sharding_constraint(frames_rgb, vid_sh)
+        frames_depth = jax.lax.with_sharding_constraint(frames_depth, vid_sh)
+        return vtrack(variables, mesh_arrays, K, mean, std, init_poses,
+                      frames_rgb, frames_depth)
+
+    return jax.jit(run)

@@ -1,0 +1,208 @@
+"""Pallas TPU kernel for rasterization pass 1 (z-buffer winner search).
+
+The XLA path (rasterizer.py) is HBM-bound: each (pixel x face-block) step
+materializes several (P, Fb) f32 intermediates. This kernel keeps the
+entire pair computation in VMEM/registers and writes only two (P,) outputs
+(best 1/z and winning face index), making the pass VPU-compute-bound.
+
+Formulation (per face, precomputed on device in the prologue):
+  - Three sign-folded edge forms e_k(p) = a_k px + b_k py + c_k, with the
+    triangle's winding sign folded into the coefficients so coverage is
+    simply min(e0, e1, e2) >= 0.
+  - The screen-interpolated inverse depth is ITSELF a linear form
+    izpix(p) = aw px + bw py + cw (1/z is affine in screen space), so the
+    z-test needs no division: the winner is argmax izpix among covered
+    faces (max 1/z == min z).
+  - Faces that are invalid (behind near plane, degenerate, padding) get
+    coefficients (0, 0, -1): never covered. No validity lanes needed.
+
+Pixel coordinates are reconstructed in-kernel from the flat pixel index
+(iota), so the only inputs are the (12, F) coefficient matrix and a
+per-face-block screen bbox used to SKIP (pixel-tile, face-block) pairs
+that cannot interact — the software analog of GL's hardware binning,
+effective because mesh faces are Morton-ordered (render/mesh.py).
+
+Replaces: GL rasterization + depth readback
+(reference vispy_renderer.py:152-169).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Coefficient row layout in the (12, F) matrix.
+ROW_A0, ROW_B0, ROW_C0 = 0, 1, 2
+ROW_A1, ROW_B1, ROW_C1 = 3, 4, 5
+ROW_A2, ROW_B2, ROW_C2 = 6, 7, 8
+ROW_AW, ROW_BW, ROW_CW = 9, 10, 11
+
+DEF_PIX_TILE = 512
+DEF_FACE_BLOCK = 512
+
+
+def build_face_coefficients(fx, fy, fiz, fvalid):
+    """Per-face linear-form coefficients (12, F), sign-folded, with
+    invalid faces poisoned to never-covered.
+
+    fx, fy: (F, 3) screen coords of the triangle vertices;
+    fiz: (F, 3) per-vertex 1/z; fvalid: (F,) bool.
+    """
+    x0, x1, x2 = fx[:, 0], fx[:, 1], fx[:, 2]
+    y0, y1, y2 = fy[:, 0], fy[:, 1], fy[:, 2]
+    a0, b0, c0 = y1 - y2, x2 - x1, x1 * y2 - x2 * y1
+    a1, b1, c1 = y2 - y0, x0 - x2, x2 * y0 - x0 * y2
+    a2, b2, c2 = y0 - y1, x1 - x0, x0 * y1 - x1 * y0
+    area = a0 * x0 + b0 * y0 + c0
+    ok = fvalid & (jnp.abs(area) > 1e-4)
+    s = jnp.where(area >= 0, 1.0, -1.0)
+    inv_area = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
+    w0, w1, w2 = fiz[:, 0] * inv_area, fiz[:, 1] * inv_area, fiz[:, 2] * inv_area
+    aw = a0 * w0 + a1 * w1 + a2 * w2
+    bw = b0 * w0 + b1 * w1 + b2 * w2
+    cw = c0 * w0 + c1 * w1 + c2 * w2
+
+    def fold(v):
+        return jnp.where(ok, v * s, 0.0)
+
+    def fold_c(v):
+        return jnp.where(ok, v * s, -1.0)
+
+    coef = jnp.stack(
+        [
+            fold(a0), fold(b0), fold_c(c0),
+            fold(a1), fold(b1), fold_c(c1),
+            fold(a2), fold(b2), fold_c(c2),
+            jnp.where(ok, aw, 0.0), jnp.where(ok, bw, 0.0),
+            jnp.where(ok, cw, 0.0),
+        ],
+        axis=0,
+    )
+    return coef.astype(jnp.float32), ok
+
+
+def build_block_bboxes(fx, fy, fvalid, face_block: int):
+    """Per-face-block screen bbox (nb, 4): [xmin, xmax, ymin, ymax].
+    Invalid-only blocks get an empty bbox (xmin > xmax)."""
+    F = fx.shape[0]
+    nb = F // face_block
+    big = jnp.float32(3.0e8)
+    vx = jnp.where(fvalid[:, None], fx, big)
+    vy = jnp.where(fvalid[:, None], fy, big)
+    xmin = vx.reshape(nb, -1).min(axis=1)
+    ymin = vy.reshape(nb, -1).min(axis=1)
+    vx = jnp.where(fvalid[:, None], fx, -big)
+    vy = jnp.where(fvalid[:, None], fy, -big)
+    xmax = vx.reshape(nb, -1).max(axis=1)
+    ymax = vy.reshape(nb, -1).max(axis=1)
+    return jnp.stack([xmin, xmax, ymin, ymax], axis=1).astype(jnp.float32)
+
+
+def _kernel(bbox_ref, coef_ref, iz_ref, idx_ref, acc_iz, acc_idx, *,
+            pix_tile, face_block, width, n_blocks):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_iz[:] = jnp.full_like(acc_iz, -1.0)
+        acc_idx[:] = jnp.zeros_like(acc_idx)
+
+    # Tile's pixel-row range for the bbox skip test.
+    first_q = i * pix_tile
+    y0 = (first_q // width).astype(jnp.float32)
+    y1 = ((first_q + pix_tile - 1) // width).astype(jnp.float32)
+    xmin = bbox_ref[j, 0]
+    xmax = bbox_ref[j, 1]
+    ymin = bbox_ref[j, 2]
+    ymax = bbox_ref[j, 3]
+    hit = (
+        (xmax >= 0.0) & (xmin <= width - 1.0) & (ymax >= y0) & (ymin <= y1)
+    )
+
+    @pl.when(hit)
+    def _():
+        q = first_q + jax.lax.broadcasted_iota(jnp.int32, (pix_tile, 1), 0)
+        px = (q % width).astype(jnp.float32)
+        py = (q // width).astype(jnp.float32)
+
+        def form(row):
+            a = coef_ref[row, :].reshape(1, face_block)
+            b = coef_ref[row + 1, :].reshape(1, face_block)
+            c = coef_ref[row + 2, :].reshape(1, face_block)
+            return px * a + py * b + c
+
+        e0 = form(ROW_A0)
+        e1 = form(ROW_A1)
+        e2 = form(ROW_A2)
+        izp = form(ROW_AW)
+        covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+        zc = jnp.where(covered & (izp > 0.0), izp, -1.0)
+        best = jnp.max(zc, axis=1, keepdims=True)  # (TP, 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (pix_tile, face_block), 1)
+        arg = jnp.min(
+            jnp.where(zc >= best, lanes, face_block), axis=1, keepdims=True
+        )
+        better = best > acc_iz[:]
+        acc_iz[:] = jnp.where(better, best, acc_iz[:])
+        acc_idx[:] = jnp.where(better, arg + j * face_block, acc_idx[:])
+
+    @pl.when(j == n_blocks - 1)
+    def _():
+        iz_ref[:] = acc_iz[:]
+        idx_ref[:] = acc_idx[:]
+
+
+def pallas_pass1(coef, block_bbox, hw: tuple[int, int],
+                 pix_tile: int = DEF_PIX_TILE,
+                 face_block: int = DEF_FACE_BLOCK,
+                 interpret: bool = False):
+    """Run the pass-1 kernel for an (H, W) target. Returns
+    (izbest (H, W) f32, winner (H, W) i32)."""
+    H, W = hw
+    P = H * W
+    n_pix_tiles = -(-P // pix_tile)
+    P_pad = n_pix_tiles * pix_tile
+    F = coef.shape[1]
+    n_blocks = F // face_block
+
+    kernel = functools.partial(
+        _kernel,
+        pix_tile=pix_tile,
+        face_block=face_block,
+        width=W,
+        n_blocks=n_blocks,
+    )
+    iz, idx = pl.pallas_call(
+        kernel,
+        grid=(n_pix_tiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # block_bbox (nb, 4)
+            pl.BlockSpec(
+                (12, face_block), lambda i, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((pix_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pix_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P_pad, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((pix_tile, 1), jnp.float32),
+            pltpu.VMEM((pix_tile, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(block_bbox, coef)
+    iz = iz[:P, 0].reshape(H, W)
+    idx = idx[:P, 0].reshape(H, W)
+    return iz, idx

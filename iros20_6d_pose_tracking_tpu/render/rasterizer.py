@@ -2,25 +2,26 @@
 
 Replaces the reference's OpenGL pipelines — the GLSL shaders + FBO readback
 (reference vispy_renderer.py:54-101,152-178) and the pyrender offscreen
-renderer (reference offscreen_renderer.py:48-83) — with a pure-XLA program
-that stays on device inside the jitted tracking step.
+renderer (reference offscreen_renderer.py:48-83) — with a pure-XLA/Pallas
+program that stays on device inside the jitted tracking step.
 
 Key design points (TPU-first):
   - The ROI window is rendered DIRECTLY at the output resolution, like the
     reference's ortho(window) x perspective(K) trick
     (reference vispy_renderer.py:135-150): the dynamic window enters only
     as scalars in the pixel->ray mapping, so all shapes stay static.
-  - Rasterization is a brute-force (pixel x triangle) sweep evaluated
-    blockwise: triangles are Morton-ordered at mesh load (render/mesh.py)
-    so each FACE_BLOCK is spatially compact, and a per-block screen-bbox
-    test lets ``lax.cond`` skip blocks that miss the window entirely.
-    This is the compiler-friendly alternative to GL's hardware binning.
-  - Z-test uses screen-linear 1/z interpolation; attributes are
-    perspective-correct. A two-pass split (pass 1: winner index per pixel;
-    pass 2: shade only the winner) keeps the hot loop at a handful of
-    VPU ops per (pixel, triangle) pair.
-  - Poses/camera math pins HIGHEST matmul precision (TPU default matmul
-    precision is too coarse for geometry).
+  - Pass 1 (z-buffer winner search over all (pixel, triangle) pairs) has
+    two interchangeable implementations:
+      * ``impl='pallas'`` — the production TPU kernel
+        (render/pallas_raster.py): VMEM-resident pair computation,
+        per-face-block screen-bbox skipping (software binning over
+        Morton-ordered faces), division-free z-test.
+      * ``impl='xla'`` — a pure-jnp blockwise sweep, used as the CPU/
+        debugging reference and the golden oracle in tests.
+  - Pass 2 shades only the winning triangle per pixel with
+    perspective-correct interpolation.
+  - Geometry matmuls pin HIGHEST precision (TPU default matmul precision
+    is too coarse for pose math).
 
 Depth output follows the reference convention: metric millimetres, 0 where
 no surface or outside (near, far) = (0.1, 2.0) m
@@ -28,8 +29,8 @@ no surface or outside (near, far) = (0.1, 2.0) m
 
 Lighting matches the reference's constants — diffuse 0.4 x max(n . l, 0)
 + ambient 0.65, clamped (reference vispy_renderer.py:66-75) — with a
-camera-attached light (reference render_image computes an equivalent
-camera-following light direction, vispy_renderer.py:171-173).
+camera-attached light (the reference's light follows the camera too,
+vispy_renderer.py:171-173).
 """
 from __future__ import annotations
 
@@ -40,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from .mesh import FACE_BLOCK, TriMesh
+from . import pallas_raster as pr
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -47,8 +49,7 @@ NEAR_M = 0.1
 FAR_M = 2.0
 AMBIENT = 0.65
 DIFFUSE = 0.4
-# Camera-space light offset (headlight slightly above optical axis); plays
-# the role of the reference's camera-following light (vispy_renderer.py:172).
+# Camera-space light offset (headlight slightly above the optical axis).
 LIGHT_CAM = (0.0, -0.1, -0.9)
 
 
@@ -91,48 +92,16 @@ def window_from_bbox(bbox: jax.Array):
     return left, right, top, bottom
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_hw", "face_block", "skip_blocks")
-)
-def render(
-    mesh: MeshArrays,
-    pose: jax.Array,
-    K: jax.Array,
-    window,
-    out_hw: tuple[int, int] = (176, 176),
-    near: float = NEAR_M,
-    far: float = FAR_M,
-    face_block: int = FACE_BLOCK,
-    skip_blocks: bool = True,
-):
-    """Render the mesh at ``pose`` (CV camera frame) into the ROI window.
-
-    Args:
-      pose: (4, 4) object-in-camera (OpenCV convention: x right, y down,
-        z forward). No GL flips anywhere — the reference's
-        glcam_in_cvcam conversions (predict.py:197-202) are unnecessary
-        because we rasterize in CV coordinates natively.
-      window: (left, right, top, bottom) scalars in full-image pixel
-        coordinates; the output grid resamples this rect at out_hw.
-      out_hw: static (H, W) output resolution.
-
-    Returns:
-      rgb: (H, W, 3) float32 in [0, 255]
-      depth_mm: (H, W) float32 metric depth in millimetres (0 = no hit)
-    """
+def _project(mesh: MeshArrays, pose, K, window, out_hw, near):
+    """Vertices -> window pixel space. Returns (px, py, inv_z, valid_v)."""
     H, W = out_hw
     left, right, top, bottom = [jnp.asarray(w, jnp.float32) for w in window]
-
     R = pose[:3, :3]
     t = pose[:3, 3]
-    # Camera-space vertices.
-    xc = (
-        jnp.einsum("vj,ij->vi", mesh.verts, R, precision=_PREC) + t[None, :]
-    )  # (V, 3)
+    xc = jnp.einsum("vj,ij->vi", mesh.verts, R, precision=_PREC) + t[None, :]
     z = xc[:, 2]
     valid_v = z > near
-    safe_z = jnp.where(valid_v, z, 1.0)
-    inv_z = jnp.where(valid_v, 1.0 / safe_z, 0.0)
+    inv_z = jnp.where(valid_v, 1.0 / jnp.where(valid_v, z, 1.0), 0.0)
     u = xc[:, 0] * K[0, 0] * inv_z + K[0, 2]
     v = xc[:, 1] * K[1, 1] * inv_z + K[1, 2]
     # Window pixel space: output pixel (i, j) has center (j, i).
@@ -140,36 +109,31 @@ def render(
     sy = H / (bottom - top)
     px = (u - left) * sx - 0.5
     py = (v - top) * sy - 0.5
+    return px, py, inv_z, valid_v, R, t
 
-    # Per-face packed screen data.
-    f = mesh.faces  # (F, 3)
-    fx = px[f]      # (F, 3)
-    fy = py[f]
-    fiz = inv_z[f]
-    fvalid = valid_v[f].all(axis=1) & mesh.fmask
 
-    # Pixel grid (flattened).
+def _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block, skip_blocks):
+    """Reference jnp z-buffer sweep: scan over face blocks carrying the
+    per-pixel (min z, winner) state."""
+    H, W = out_hw
     gx = jnp.arange(W, dtype=jnp.float32)
     gy = jnp.arange(H, dtype=jnp.float32)
-    pxg, pyg = jnp.meshgrid(gx, gy)  # (H, W)
-    pix_x = pxg.reshape(-1)  # (P,)
+    pxg, pyg = jnp.meshgrid(gx, gy)
+    pix_x = pxg.reshape(-1)
     pix_y = pyg.reshape(-1)
     P = H * W
-
-    F = f.shape[0]
+    F = fx.shape[0]
     n_blocks = F // face_block
 
     def raster_block(carry, blk):
         zmin, widx = carry
         s = blk * face_block
-        bx = jax.lax.dynamic_slice_in_dim(fx, s, face_block, 0)  # (Fb, 3)
+        bx = jax.lax.dynamic_slice_in_dim(fx, s, face_block, 0)
         by = jax.lax.dynamic_slice_in_dim(fy, s, face_block, 0)
         biz = jax.lax.dynamic_slice_in_dim(fiz, s, face_block, 0)
         bok = jax.lax.dynamic_slice_in_dim(fvalid, s, face_block, 0)
 
         def body(zmin, widx):
-            # Edge coefficients, one linear form per vertex weight:
-            #   e_k(p) = cross(p_{k+1} -> p_{k+2}, p - p_{k+1})
             x0, x1, x2 = bx[:, 0], bx[:, 1], bx[:, 2]
             y0, y1, y2 = by[:, 0], by[:, 1], by[:, 2]
             a0, b0 = y1 - y2, x2 - x1
@@ -178,13 +142,11 @@ def render(
             c1 = x2 * y0 - x0 * y2
             a2, b2 = y0 - y1, x1 - x0
             c2 = x0 * y1 - x1 * y0
-            area = a0 * x0 + b0 * y0 + c0  # = 2 * signed area
+            area = a0 * x0 + b0 * y0 + c0
             s_sign = jnp.where(area >= 0, 1.0, -1.0)
             inv_area = jnp.where(jnp.abs(area) > 1e-4, 1.0 / area, 0.0)
             ok = bok & (jnp.abs(area) > 1e-4)
 
-            # (P, Fb) edge evaluations. XLA fuses these FMAs; the Pallas
-            # kernel (pallas_raster.py) evaluates the same forms on the MXU.
             e0 = pix_x[:, None] * a0[None, :] + pix_y[:, None] * b0[None, :] + c0[None, :]
             e1 = pix_x[:, None] * a1[None, :] + pix_y[:, None] * b1[None, :] + c1[None, :]
             e2 = pix_x[:, None] * a2[None, :] + pix_y[:, None] * b2[None, :] + c2[None, :]
@@ -199,14 +161,17 @@ def render(
                 + e1 * (biz[:, 1] * inv_area)[None, :]
                 + e2 * (biz[:, 2] * inv_area)[None, :]
             )
-            zc = jnp.where(cover & (inv_z_pix > 1e-9), 1.0 / jnp.maximum(inv_z_pix, 1e-9), jnp.inf)
+            zc = jnp.where(
+                cover & (inv_z_pix > 1e-9),
+                1.0 / jnp.maximum(inv_z_pix, 1e-9),
+                jnp.inf,
+            )
             blk_min = jnp.min(zc, axis=1)
             blk_arg = jnp.argmin(zc, axis=1).astype(jnp.int32) + s
             take = blk_min < zmin
             return jnp.where(take, blk_min, zmin), jnp.where(take, blk_arg, widx)
 
         if skip_blocks:
-            # Skip blocks whose projected bbox misses the window.
             bb_ok = bok & (jnp.abs(bx).max(axis=1) < 1e7)
             any_ok = bb_ok.any()
             min_x = jnp.where(bb_ok, bx.min(axis=1), jnp.inf).min()
@@ -227,14 +192,26 @@ def render(
     (zmin, winner), _ = jax.lax.scan(
         raster_block, init, jnp.arange(n_blocks), unroll=1
     )
-    hit = jnp.isfinite(zmin) & (zmin < far)
+    return zmin.reshape(H, W), winner.reshape(H, W)
 
-    # ---- pass 2: shade the winning triangle per pixel -------------------
-    wf = f[winner]  # (P, 3) vertex ids
+
+def _pass2_shade(mesh: MeshArrays, R, t, px, py, inv_z, zmin, winner, hit,
+                 out_hw):
+    """Perspective-correct interpolation + diffuse shading of the winner."""
+    H, W = out_hw
+    winner_f = winner.reshape(-1)
+    zmin_f = zmin.reshape(-1)
+    hit_f = hit.reshape(-1)
+    gx = jnp.arange(W, dtype=jnp.float32)
+    gy = jnp.arange(H, dtype=jnp.float32)
+    pxg, pyg = jnp.meshgrid(gx, gy)
+    pix_x = pxg.reshape(-1)
+    pix_y = pyg.reshape(-1)
+
+    wf = mesh.faces[winner_f]          # (P, 3)
     wx = px[wf]
     wy = py[wf]
     wiz = inv_z[wf]
-    # Barycentric at the pixel (same edge forms as pass 1).
     x0, x1, x2 = wx[:, 0], wx[:, 1], wx[:, 2]
     y0, y1, y2 = wy[:, 0], wy[:, 1], wy[:, 2]
     e0 = (y1 - y2) * pix_x + (x2 - x1) * pix_y + (x1 * y2 - x2 * y1)
@@ -243,12 +220,11 @@ def render(
     area = e0 + e1 + e2
     inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
     w0, w1, w2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
-    # Perspective-correct interpolation weights q_k = w_k / z_k.
     q0, q1, q2 = w0 * wiz[:, 0], w1 * wiz[:, 1], w2 * wiz[:, 2]
     qsum = jnp.maximum(q0 + q1 + q2, 1e-12)
 
-    def interp(vattr):  # (V, C) -> (P, C)
-        a = vattr[wf]  # (P, 3, C)
+    def interp(vattr):
+        a = vattr[wf]
         return (
             a[:, 0] * q0[:, None] + a[:, 1] * q1[:, None] + a[:, 2] * q2[:, None]
         ) / qsum[:, None]
@@ -256,22 +232,83 @@ def render(
     albedo = interp(mesh.colors)
     n_obj = interp(mesh.normals)
     p_obj = interp(mesh.verts)
-    # Shade in camera space with a camera-attached point light.
     n_cam = jnp.einsum("pj,ij->pi", n_obj, R, precision=_PREC)
     n_cam = n_cam / jnp.maximum(
         jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-9
     )
     p_cam = jnp.einsum("pj,ij->pi", p_obj, R, precision=_PREC) + t[None, :]
     l_vec = jnp.asarray(LIGHT_CAM, jnp.float32)[None, :] - p_cam
-    l_dir = l_vec / jnp.maximum(jnp.linalg.norm(l_vec, axis=-1, keepdims=True), 1e-9)
-    ndotl = jnp.maximum(jnp.sum(n_cam * l_dir, axis=-1), 0.0)
-    shade = jnp.clip(
-        albedo * (AMBIENT + DIFFUSE * ndotl)[:, None], 0.0, 1.0
+    l_dir = l_vec / jnp.maximum(
+        jnp.linalg.norm(l_vec, axis=-1, keepdims=True), 1e-9
     )
+    ndotl = jnp.maximum(jnp.sum(n_cam * l_dir, axis=-1), 0.0)
+    shade = jnp.clip(albedo * (AMBIENT + DIFFUSE * ndotl)[:, None], 0.0, 1.0)
 
-    rgb = jnp.where(hit[:, None], shade * 255.0, 0.0).reshape(H, W, 3)
-    depth_mm = jnp.where(hit, zmin * 1000.0, 0.0).reshape(H, W)
+    rgb = jnp.where(hit_f[:, None], shade * 255.0, 0.0).reshape(H, W, 3)
+    depth_mm = jnp.where(hit_f, zmin_f * 1000.0, 0.0).reshape(H, W)
     return rgb, depth_mm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "face_block", "skip_blocks", "impl"),
+)
+def render(
+    mesh: MeshArrays,
+    pose: jax.Array,
+    K: jax.Array,
+    window,
+    out_hw: tuple[int, int] = (176, 176),
+    near: float = NEAR_M,
+    far: float = FAR_M,
+    face_block: int = FACE_BLOCK,
+    skip_blocks: bool = True,
+    impl: str = "xla",
+):
+    """Render the mesh at ``pose`` (CV camera frame) into the ROI window.
+
+    Args:
+      pose: (4, 4) object-in-camera (OpenCV convention: x right, y down,
+        z forward). No GL flips anywhere — the reference's
+        glcam_in_cvcam conversions (predict.py:197-202) are unnecessary
+        because we rasterize in CV coordinates natively.
+      window: (left, right, top, bottom) scalars in full-image pixel
+        coordinates; the output grid resamples this rect at out_hw.
+      out_hw: static (H, W) output resolution.
+      impl: 'xla' (jnp reference), 'pallas' (TPU kernel), or
+        'pallas_interpret' (kernel in interpreter mode, for CPU tests).
+
+    Returns:
+      rgb: (H, W, 3) float32 in [0, 255]
+      depth_mm: (H, W) float32 metric depth in millimetres (0 = no hit)
+    """
+    px, py, inv_z, valid_v, R, t = _project(mesh, pose, K, window, out_hw,
+                                            near)
+    f = mesh.faces
+    fx = px[f]
+    fy = py[f]
+    fiz = inv_z[f]
+    fvalid = valid_v[f].all(axis=1) & mesh.fmask
+
+    if impl == "xla":
+        zmin, winner = _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block,
+                                  skip_blocks)
+        hit = jnp.isfinite(zmin) & (zmin < far)
+    elif impl in ("pallas", "pallas_interpret"):
+        coef, _ = pr.build_face_coefficients(fx, fy, fiz, fvalid)
+        bbox = pr.build_block_bboxes(fx, fy, fvalid, face_block)
+        izbest, winner = pr.pallas_pass1(
+            coef, bbox, out_hw, face_block=face_block,
+            interpret=(impl == "pallas_interpret"),
+        )
+        found = izbest > 1e-9
+        zmin = jnp.where(found, 1.0 / jnp.maximum(izbest, 1e-9), jnp.inf)
+        winner = jnp.clip(winner, 0, f.shape[0] - 1)
+        hit = found & (zmin < far)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+
+    return _pass2_shade(mesh, R, t, px, py, inv_z, zmin, winner, hit, out_hw)
 
 
 def render_at_bbox(

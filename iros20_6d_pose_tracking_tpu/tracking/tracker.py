@@ -51,6 +51,7 @@ class TrackerConfig:
     near: float = rz.NEAR_M
     far: float = rz.FAR_M
     dtype: Any = jnp.float32                # bf16 on TPU for the CNN
+    render_impl: str = "xla"                # 'pallas' on TPU hardware
 
 
 def pack_channels(rgb, depth):
@@ -108,7 +109,8 @@ def track_step(
     # Rendered branch (A): rasterize the CAD model straight into the window.
     window = rz.window_from_bbox(bbox)
     rgbA, depthA = rz.render(
-        mesh, prev_pose, K, window, out_hw=res, near=cfg.near, far=cfg.far
+        mesh, prev_pose, K, window, out_hw=res, near=cfg.near, far=cfg.far,
+        impl=cfg.render_impl,
     )
     bufA, bufB = normalize_pair(rgbA, depthA, rgbB, depthB, prev_pose, mean, std)
     out = model.apply(variables, bufA[None], bufB[None], train=False)

@@ -119,10 +119,11 @@ def preprocess_batch(key, raw, mean, std, cfg: TrainConfig, train: bool):
     return bufA, bufB, t_label, r_label
 
 
-@functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"),
-                   donate_argnames=("state",))
-def train_step(model, tx, cfg: TrainConfig, state: TrainState, key,
-               raw_batch, mean, std):
+def train_step_impl(model, tx, cfg: TrainConfig, state: TrainState, key,
+                    raw_batch, mean, std):
+    """Un-jitted step body — reused by the jitted single-device step below
+    and by the SPMD wrappers in parallel/spmd.py (vmapped over an
+    object-ensemble axis and sharded over a device mesh)."""
     bufA, bufB, t_label, r_label = preprocess_batch(
         key, raw_batch, mean, std, cfg, train=True
     )
@@ -151,6 +152,13 @@ def train_step(model, tx, cfg: TrainConfig, state: TrainState, key,
     )
     metrics = {"loss": loss, "trans": parts["trans"], "rot": parts["rot"]}
     return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"),
+                   donate_argnames=("state",))
+def train_step(model, tx, cfg: TrainConfig, state: TrainState, key,
+               raw_batch, mean, std):
+    return train_step_impl(model, tx, cfg, state, key, raw_batch, mean, std)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))

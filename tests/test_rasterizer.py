@@ -142,3 +142,31 @@ def test_skip_blocks_equals_noskip():
     _, d2 = Rz.render(sph, pose, jnp.array(K), win, out_hw=(IMG_H, IMG_W),
                       skip_blocks=False)
     np.testing.assert_array_equal(np.array(d1), np.array(d2))
+
+
+def test_pallas_pass1_matches_xla():
+    """The Pallas kernel (interpret mode on CPU) must agree with the jnp
+    reference implementation pixel-for-pixel on depth."""
+    sph = Rz.upload(M.make_icosphere(subdiv=3, radius=0.04))
+    pose = _pose([0.03, 0.02, 0.55], (0.4, -0.2, 0.3))
+    win = (150.0, 450.0, 100.0, 400.0)
+    _, d_xla = Rz.render(sph, pose, jnp.array(K), win, out_hw=(128, 128),
+                         impl="xla")
+    _, d_pal = Rz.render(sph, pose, jnp.array(K), win, out_hw=(128, 128),
+                         impl="pallas_interpret")
+    d_xla, d_pal = np.array(d_xla), np.array(d_pal)
+    # Winner ties at shared edges may differ; depths must match everywhere.
+    np.testing.assert_allclose(d_pal, d_xla, atol=0.3)  # mm
+    assert (d_pal > 0).sum() > 100
+
+
+def test_pallas_pass1_cube_roi():
+    cube = Rz.upload(M.make_cube(0.1))
+    pose = _pose([0.0, 0.0, 0.5])
+    rgb1, d1, _ = Rz.render_at_bbox(cube, pose, jnp.array(K), 130.0,
+                                    out_hw=(176, 176), impl="xla")
+    rgb2, d2, _ = Rz.render_at_bbox(cube, pose, jnp.array(K), 130.0,
+                                    out_hw=(176, 176),
+                                    impl="pallas_interpret")
+    np.testing.assert_allclose(np.array(d2), np.array(d1), atol=0.3)
+    np.testing.assert_allclose(np.array(rgb2), np.array(rgb1), atol=2.0)
