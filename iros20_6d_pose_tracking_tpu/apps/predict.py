@@ -1,0 +1,272 @@
+"""Tracking CLI — flag- and file-protocol-compatible with reference
+predict.py:627-665.
+
+Modes:
+  --mode ycbv       track one YCB-Video sequence (reference
+                    predictSequenceYcb, predict.py:446-575)
+  --mode ycbineoat  track one YCBInEOAT video (reference
+                    predictSequenceYcbInEOAT, predict.py:578-624);
+                    normalizers overridden to trans 0.03 m / rot 30 deg
+                    (reference predict.py:586)
+  --mode ycbv_all   all test sequences containing --class_id (reference
+                    getResultsYcb, predict.py:299-443)
+
+Two execution paths:
+  --track_mode scan    preload the video and run the fused ``lax.scan``
+                       tracker (TPU throughput path; no host round trips)
+  --track_mode stream  per-frame ``Tracker.on_track`` (parity with the
+                       reference's frame loop; supports --reinit_frames)
+
+Outputs per-frame 4x4 pose txts in the layouts the eval drivers consume.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def _load_rgb(path):
+    from PIL import Image
+
+    return np.array(Image.open(path))[..., :3]
+
+
+def _load_depth(path):
+    from PIL import Image
+
+    d = np.array(Image.open(path))
+    return d.astype(np.float32)
+
+
+def _make_tracker(dataset_info, mean, std, args, trans_normalizer=0.03,
+                  rot_normalizer=5 * np.pi / 180):
+    import jax.numpy as jnp
+
+    from ..tracking.tracker import Tracker
+
+    return Tracker(
+        dataset_info,
+        mean,
+        std,
+        ckpt_dir=args.ckpt_dir,
+        model_path=args.model_path,
+        trans_normalizer=trans_normalizer,
+        rot_normalizer=rot_normalizer,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def _viz_overlay(rgb, pose, K, cloud, frame_idx, out_path):
+    """Projected-point overlay (reference predict.py:549-559), saved to
+    disk instead of imshow (headless)."""
+    import cv2
+
+    pts = cloud @ pose[:3, :3].T + pose[:3, 3]
+    us = np.round(pts[:, 0] * K[0, 0] / pts[:, 2] + K[0, 2]).astype(int)
+    vs = np.round(pts[:, 1] * K[1, 1] / pts[:, 2] + K[1, 2]).astype(int)
+    bgr = cv2.cvtColor(rgb.astype(np.uint8), cv2.COLOR_RGB2BGR)
+    H, W = bgr.shape[:2]
+    keep = (us >= 0) & (us < W) & (vs >= 0) & (vs < H)
+    bgr[vs[keep], us[keep]] = (0, 255, 255)
+    cv2.putText(bgr, f"frame:{frame_idx}", (W // 2, H - 50),
+                cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 0, 0), 4)
+    cv2.imwrite(out_path, bgr)
+
+
+def _track_files(tracker, rgb_files, depth_files, init_pose, args,
+                 start=0, reinit=None):
+    """Track a file sequence; returns (N, 4, 4) poses including the init."""
+    if args.track_mode == "scan" and not reinit:
+        rgbs = np.stack([_load_rgb(f) for f in rgb_files[start + 1:]])
+        depths = np.stack([_load_depth(f) for f in depth_files[start + 1:]])
+        poses = tracker.track_video(init_pose, rgbs.astype(np.float32),
+                                    depths)
+        return np.concatenate([init_pose[None], poses], axis=0)
+
+    poses = [init_pose]
+    prev = init_pose.copy()
+    for i in range(start + 1, len(rgb_files)):
+        if i % 100 == 0:
+            print(">>>>", i, flush=True)
+        if reinit and reinit.get(i) is not None:
+            prev = reinit[i]
+            print("Reinitialized at", i)
+        rgb = _load_rgb(rgb_files[i])
+        depth = _load_depth(depth_files[i])
+        prev = tracker.on_track(prev, rgb.astype(np.float32), depth)
+        poses.append(prev.copy())
+        if args.viz_dir:
+            os.makedirs(args.viz_dir, exist_ok=True)
+            _viz_overlay(rgb, prev, np.asarray(tracker.K),
+                         getattr(tracker, "object_cloud", tracker.trimesh.verts),
+                         i, os.path.join(args.viz_dir, f"{i:07d}.png"))
+    return np.stack(poses)
+
+
+def predict_sequence_ycb(args, dataset_info, mean, std):
+    """One YCB-Video sequence (reference predict.py:446-575 layout:
+    color/ depth_filled/ pose_gt/<class_id>/)."""
+    seq_dir = os.path.join(args.ycb_dir, f"{args.seq_id:04d}")
+    rgb_files = sorted(glob.glob(os.path.join(seq_dir, "color", "*")))
+    depth_files = sorted(glob.glob(os.path.join(seq_dir, "depth_filled", "*")))
+    gt_files = sorted(
+        glob.glob(os.path.join(seq_dir, "pose_gt", str(args.class_id), "*"))
+    )
+    gt_poses = [np.loadtxt(f) for f in gt_files]
+    assert rgb_files and depth_files and gt_poses, seq_dir
+
+    tracker = _make_tracker(dataset_info, mean, std, args)
+    init_pose = gt_poses[0].copy()
+
+    reinit = None
+    if args.reinit_frames:
+        reinit = {}
+        for sf in args.reinit_frames.split(","):
+            seq, frame = sf.split("/")
+            reinit[int(frame) - 1] = _posecnn_pose(args, int(seq), int(frame))
+
+    pred_poses = _track_files(tracker, rgb_files, depth_files, init_pose,
+                              args, reinit=reinit)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    from ..eval.metrics import adi_err, vocap
+    import jax.numpy as jnp
+
+    cloud = getattr(tracker, "object_cloud", tracker.trimesh.verts)
+    errs = []
+    for i, p in enumerate(pred_poses):
+        np.savetxt(os.path.join(args.outdir, f"{i:05d}.txt"), p)
+        np.savetxt(os.path.join(args.outdir, f"{i:05d}gt.txt"), gt_poses[i])
+        errs.append(float(adi_err(jnp.asarray(p, jnp.float32),
+                                  jnp.asarray(gt_poses[i], jnp.float32),
+                                  jnp.asarray(cloud, jnp.float32))))
+    auc = vocap(np.array(errs)) * 100
+    print(f"reinit_frames {args.reinit_frames}, adi_auc {auc}")
+    return auc
+
+
+def predict_sequence_ycbineoat(args, dataset_info, mean, std):
+    """One YCBInEOAT video (reference predict.py:578-624 layout:
+    rgb/ depth_filled/ annotated_poses/)."""
+    root = args.YCBInEOAT_dir
+    rgb_files = sorted(glob.glob(os.path.join(root, "rgb", "*.png")))
+    depth_files = sorted(glob.glob(os.path.join(root, "depth_filled", "*.png")))
+    gt_files = sorted(glob.glob(os.path.join(root, "annotated_poses", "*.txt")))
+    assert rgb_files and depth_files and gt_files, root
+    gt_poses = [np.loadtxt(f) for f in gt_files]
+
+    tracker = _make_tracker(dataset_info, mean, std, args,
+                            trans_normalizer=0.03,
+                            rot_normalizer=30 * np.pi / 180)
+    init_pose = gt_poses[0].copy()
+    # The reference tracks from frame 0 re-estimating frame i from i-1 and
+    # saves a pose per frame (predict.py:603-611): frame 0's saved pose is
+    # the update of the init on frame 0 itself.
+    pred = _track_files(tracker, ["_init"] + rgb_files,
+                        ["_init"] + depth_files, init_pose, args)[1:]
+    os.makedirs(args.outdir, exist_ok=True)
+    for i, p in enumerate(pred):
+        np.savetxt(os.path.join(args.outdir, f"{i:07d}.txt"), p)
+    return pred
+
+
+def get_results_ycb(args, dataset_info, mean, std):
+    """All test sequences (0048-0059) containing the class (reference
+    getResultsYcb, predict.py:299-443)."""
+    results = {}
+    for seq_id in range(48, 60):
+        seq_dir = os.path.join(args.ycb_dir, f"{seq_id:04d}")
+        gt_dir = os.path.join(seq_dir, "pose_gt", str(args.class_id))
+        if not os.path.isdir(gt_dir):
+            continue
+        sub_args = argparse.Namespace(**vars(args))
+        sub_args.seq_id = seq_id
+        sub_args.outdir = os.path.join(args.outdir, f"seq{seq_id:04d}")
+        results[seq_id] = predict_sequence_ycb(sub_args, dataset_info, mean,
+                                               std)
+    print("per-seq ADI AUC:", results)
+    return results
+
+
+def _posecnn_pose(args, seq_id, frame_id):
+    """PoseCNN re-init pose from the YCB_Video_toolbox results
+    (reference use_posecnn_res, predict.py:89-123)."""
+    import scipy.io
+
+    with open(os.path.join(args.ycb_dir, "image_sets", "keyframe.txt")) as f:
+        seq_frames = [line.strip() for line in f]
+    target = f"{seq_id:04d}/{frame_id:06d}"
+    for neighbor in range(len(seq_frames)):
+        for cand_frame in (frame_id + neighbor, frame_id - neighbor):
+            cand = f"{seq_id:04d}/{cand_frame:06d}"
+            if cand in seq_frames:
+                index = seq_frames.index(cand)
+                mat = scipy.io.loadmat(os.path.join(
+                    args.ycb_dir, "YCB_Video_toolbox",
+                    "results_PoseCNN_RSS2018", f"{index:06d}.mat"))
+                rows = np.where(mat["rois"][:, 1] == args.class_id)[0]
+                vec = mat["poses_icp"][rows].reshape(-1)
+                from ..core import se3 as _se3
+                import jax.numpy as jnp
+                qw, qx, qy, qz = vec[:4]
+                # quaternion (wxyz) -> R
+                R = np.array([
+                    [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+                    [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+                    [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+                ])
+                pose = np.eye(4)
+                pose[:3, :3] = R
+                pose[:3, 3] = vec[4:]
+                return pose
+    raise RuntimeError(f"no keyframe near {target}")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--mode", default="ycbv",
+                        help="ycbv / ycbineoat / ycbv_all")
+    parser.add_argument("--seq_id", default=None, type=int)
+    parser.add_argument("--ycb_dir", type=str, default=None,
+                        help="YCB_Video data_organized root")
+    parser.add_argument("--YCBInEOAT_dir", type=str, default=None)
+    parser.add_argument("--train_data_path", type=str, default=None,
+                        help="dataset_info.yml found at <path>/../")
+    parser.add_argument("--class_id", default=-1, type=int)
+    parser.add_argument("--model_path", type=str, help="path to mesh")
+    parser.add_argument("--ckpt_dir", type=str)
+    parser.add_argument("--mean_std_path", type=str)
+    parser.add_argument("--outdir", type=str, required=True)
+    parser.add_argument("--reinit_frames", type=str, default=None)
+    parser.add_argument("--track_mode", default="scan",
+                        choices=["scan", "stream"])
+    parser.add_argument("--viz_dir", type=str, default=None,
+                        help="save projected-point overlays here")
+    parser.add_argument("--bf16", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    import yaml
+
+    args = build_parser().parse_args(argv)
+    with open(os.path.join(args.train_data_path, "..",
+                           "dataset_info.yml")) as f:
+        dataset_info = yaml.safe_load(f)
+    mean = np.load(os.path.join(args.mean_std_path, "mean.npy"))
+    std = np.load(os.path.join(args.mean_std_path, "std.npy"))
+
+    if args.mode == "ycbv":
+        predict_sequence_ycb(args, dataset_info, mean, std)
+    elif args.mode == "ycbineoat":
+        predict_sequence_ycbineoat(args, dataset_info, mean, std)
+    else:
+        get_results_ycb(args, dataset_info, mean, std)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,7 +97,10 @@ def crop_resize_nearest(
     valid_c = (src_c >= 0) & (src_c < w)
     rr = jnp.clip(src_r, 0, h - 1)
     cc = jnp.clip(src_c, 0, w - 1)
-    out = img[rr[:, None], cc[None, :]]
+    # Two 1-D gathers (rows, then columns) instead of one 2-D gather —
+    # row gathers lower to contiguous copies on TPU, ~an order of
+    # magnitude faster than the general gather XLA emits otherwise.
+    out = jnp.take(jnp.take(img, rr, axis=0), cc, axis=1)
     mask = valid_r[:, None] & valid_c[None, :]
     if img.ndim == 3:
         mask = mask[..., None]

@@ -54,25 +54,31 @@ LIGHT_CAM = (0.0, -0.1, -0.9)
 
 
 class MeshArrays(NamedTuple):
-    """Device-resident static mesh data."""
+    """Device-resident static mesh data in FACE-SOUP layout.
 
-    verts: jax.Array    # (V, 3) f32
-    faces: jax.Array    # (F, 3) i32, F multiple of FACE_BLOCK
-    colors: jax.Array   # (V, 3) f32 albedo in [0,1]
-    normals: jax.Array  # (V, 3) f32
-    fmask: jax.Array    # (F,) bool — False for padding rows. Explicit mask
-                        # because FMA contraction under XLA makes a
-                        # degenerate face's area a nonzero ulp-scale value,
-                        # so an area==0 test is not a reliable pad filter.
+    Vertices/attributes are pre-expanded per face (F, 3 corners, 3) so the
+    per-frame prologue is pure elementwise math — zero gathers. (Indexed
+    layouts force three vertex gathers per face per frame; the soup costs
+    ~3x static memory, negligible at these sizes, and the gathers were a
+    measured bottleneck.)
+    """
+
+    fverts: jax.Array    # (F, 3, 3) f32 corner positions (object space)
+    fcolors: jax.Array   # (F, 3, 3) f32 corner albedo in [0,1]
+    fnormals: jax.Array  # (F, 3, 3) f32 corner normals
+    fmask: jax.Array     # (F,) bool — False for padding rows. Explicit mask
+                         # because FMA contraction under XLA makes a
+                         # degenerate face's area a nonzero ulp-scale value,
+                         # so an area==0 test is not a reliable pad filter.
 
 
 def upload(mesh: TriMesh) -> MeshArrays:
-    fmask = jnp.arange(mesh.faces.shape[0]) < mesh.num_faces
+    f = mesh.faces
+    fmask = jnp.arange(f.shape[0]) < mesh.num_faces
     return MeshArrays(
-        verts=jnp.asarray(mesh.verts),
-        faces=jnp.asarray(mesh.faces),
-        colors=jnp.asarray(mesh.colors),
-        normals=jnp.asarray(mesh.normals),
+        fverts=jnp.asarray(mesh.verts[f]),
+        fcolors=jnp.asarray(mesh.colors[f]),
+        fnormals=jnp.asarray(mesh.normals[f]),
         fmask=fmask,
     )
 
@@ -93,23 +99,31 @@ def window_from_bbox(bbox: jax.Array):
 
 
 def _project(mesh: MeshArrays, pose, K, window, out_hw, near):
-    """Vertices -> window pixel space. Returns (px, py, inv_z, valid_v)."""
+    """Face corners -> window pixel space.
+
+    Returns (fx, fy, fiz, fvalid, R, t) with (F, 3) screen coords/inverse
+    depths per face — no gathers (soup layout).
+    """
     H, W = out_hw
     left, right, top, bottom = [jnp.asarray(w, jnp.float32) for w in window]
     R = pose[:3, :3]
     t = pose[:3, 3]
-    xc = jnp.einsum("vj,ij->vi", mesh.verts, R, precision=_PREC) + t[None, :]
-    z = xc[:, 2]
-    valid_v = z > near
-    inv_z = jnp.where(valid_v, 1.0 / jnp.where(valid_v, z, 1.0), 0.0)
-    u = xc[:, 0] * K[0, 0] * inv_z + K[0, 2]
-    v = xc[:, 1] * K[1, 1] * inv_z + K[1, 2]
+    xc = (
+        jnp.einsum("fkj,ij->fki", mesh.fverts, R, precision=_PREC)
+        + t[None, None, :]
+    )  # (F, 3, 3)
+    z = xc[..., 2]
+    valid = z > near
+    inv_z = jnp.where(valid, 1.0 / jnp.where(valid, z, 1.0), 0.0)
+    u = xc[..., 0] * K[0, 0] * inv_z + K[0, 2]
+    v = xc[..., 1] * K[1, 1] * inv_z + K[1, 2]
     # Window pixel space: output pixel (i, j) has center (j, i).
     sx = W / (right - left)
     sy = H / (bottom - top)
-    px = (u - left) * sx - 0.5
-    py = (v - top) * sy - 0.5
-    return px, py, inv_z, valid_v, R, t
+    fx = (u - left) * sx - 0.5
+    fy = (v - top) * sy - 0.5
+    fvalid = valid.all(axis=1) & mesh.fmask
+    return fx, fy, inv_z, fvalid, R, t
 
 
 def _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block, skip_blocks):
@@ -195,9 +209,55 @@ def _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block, skip_blocks):
     return zmin.reshape(H, W), winner.reshape(H, W)
 
 
-def _pass2_shade(mesh: MeshArrays, R, t, px, py, inv_z, zmin, winner, hit,
+def _face_attr_coefficients(fx, fy, fiz, fvalid, mesh: MeshArrays):
+    """Per-face linear forms for perspective-correct attributes.
+
+    Every perspective-correct attribute is a ratio of screen-linear forms:
+      attr(p) = (alpha px + beta py + gamma) / izpix(p)
+    with (alpha, beta, gamma) = sum_k (a_k, b_k, c_k) attr_k iz_k / area.
+    Packing these per face lets pass 2 fetch ONE contiguous coefficient
+    row per pixel instead of 3 vertex gathers per attribute (the vertex
+    gathers were the measured pass-2 bottleneck).
+
+    Returns (F, 30): [izpix a,b,c | albedo 9 | normal 9 | pos 9].
+    """
+    x0, x1, x2 = fx[:, 0], fx[:, 1], fx[:, 2]
+    y0, y1, y2 = fy[:, 0], fy[:, 1], fy[:, 2]
+    a = jnp.stack([y1 - y2, y2 - y0, y0 - y1], axis=1)           # (F, 3)
+    b = jnp.stack([x2 - x1, x0 - x2, x1 - x0], axis=1)
+    c = jnp.stack(
+        [x1 * y2 - x2 * y1, x2 * y0 - x0 * y2, x0 * y1 - x1 * y0], axis=1
+    )
+    area = a[:, 0] * x0 + b[:, 0] * y0 + c[:, 0]
+    ok = fvalid & (jnp.abs(area) > 1e-4)
+    inv_area = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
+    w = fiz * inv_area[:, None]                                   # (F, 3)
+
+    iz_abc = jnp.stack(
+        [(a * w).sum(1), (b * w).sum(1), (c * w).sum(1)], axis=1
+    )  # (F, 3)
+
+    def attr_forms(vattr):  # (F, 3, C) -> (F, 3*C) [a_c..., b_c..., c_c...]
+        aw = jnp.einsum("fk,fkc->fc", a * w, vattr)
+        bw = jnp.einsum("fk,fkc->fc", b * w, vattr)
+        cw = jnp.einsum("fk,fkc->fc", c * w, vattr)
+        return jnp.concatenate([aw, bw, cw], axis=1)
+
+    return jnp.concatenate(
+        [
+            iz_abc,
+            attr_forms(mesh.fcolors),
+            attr_forms(mesh.fnormals),
+            attr_forms(mesh.fverts),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def _pass2_shade(mesh: MeshArrays, R, t, attr_coef, zmin, winner, hit,
                  out_hw):
-    """Perspective-correct interpolation + diffuse shading of the winner."""
+    """Shade the winning triangle per pixel from its linear attribute
+    forms: one row gather + FMAs per pixel."""
     H, W = out_hw
     winner_f = winner.reshape(-1)
     zmin_f = zmin.reshape(-1)
@@ -208,30 +268,20 @@ def _pass2_shade(mesh: MeshArrays, R, t, px, py, inv_z, zmin, winner, hit,
     pix_x = pxg.reshape(-1)
     pix_y = pyg.reshape(-1)
 
-    wf = mesh.faces[winner_f]          # (P, 3)
-    wx = px[wf]
-    wy = py[wf]
-    wiz = inv_z[wf]
-    x0, x1, x2 = wx[:, 0], wx[:, 1], wx[:, 2]
-    y0, y1, y2 = wy[:, 0], wy[:, 1], wy[:, 2]
-    e0 = (y1 - y2) * pix_x + (x2 - x1) * pix_y + (x1 * y2 - x2 * y1)
-    e1 = (y2 - y0) * pix_x + (x0 - x2) * pix_y + (x2 * y0 - x0 * y2)
-    e2 = (y0 - y1) * pix_x + (x1 - x0) * pix_y + (x0 * y1 - x1 * y0)
-    area = e0 + e1 + e2
-    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
-    w0, w1, w2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
-    q0, q1, q2 = w0 * wiz[:, 0], w1 * wiz[:, 1], w2 * wiz[:, 2]
-    qsum = jnp.maximum(q0 + q1 + q2, 1e-12)
+    row = jnp.take(attr_coef, winner_f, axis=0)  # (P, 30)
+    izpix = row[:, 0] * pix_x + row[:, 1] * pix_y + row[:, 2]
+    inv_iz = 1.0 / jnp.maximum(izpix, 1e-9)
 
-    def interp(vattr):
-        a = vattr[wf]
-        return (
-            a[:, 0] * q0[:, None] + a[:, 1] * q1[:, None] + a[:, 2] * q2[:, None]
-        ) / qsum[:, None]
+    def attr3(base):
+        al = row[:, base : base + 3]
+        be = row[:, base + 3 : base + 6]
+        ga = row[:, base + 6 : base + 9]
+        num = al * pix_x[:, None] + be * pix_y[:, None] + ga
+        return num * inv_iz[:, None]
 
-    albedo = interp(mesh.colors)
-    n_obj = interp(mesh.normals)
-    p_obj = interp(mesh.verts)
+    albedo = attr3(3)
+    n_obj = attr3(12)
+    p_obj = attr3(21)
     n_cam = jnp.einsum("pj,ij->pi", n_obj, R, precision=_PREC)
     n_cam = n_cam / jnp.maximum(
         jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-9
@@ -282,13 +332,7 @@ def render(
       rgb: (H, W, 3) float32 in [0, 255]
       depth_mm: (H, W) float32 metric depth in millimetres (0 = no hit)
     """
-    px, py, inv_z, valid_v, R, t = _project(mesh, pose, K, window, out_hw,
-                                            near)
-    f = mesh.faces
-    fx = px[f]
-    fy = py[f]
-    fiz = inv_z[f]
-    fvalid = valid_v[f].all(axis=1) & mesh.fmask
+    fx, fy, fiz, fvalid, R, t = _project(mesh, pose, K, window, out_hw, near)
 
     if impl == "xla":
         zmin, winner = _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block,
@@ -303,12 +347,13 @@ def render(
         )
         found = izbest > 1e-9
         zmin = jnp.where(found, 1.0 / jnp.maximum(izbest, 1e-9), jnp.inf)
-        winner = jnp.clip(winner, 0, f.shape[0] - 1)
+        winner = jnp.clip(winner, 0, mesh.fverts.shape[0] - 1)
         hit = found & (zmin < far)
     else:
         raise ValueError(f"unknown impl {impl!r}")
 
-    return _pass2_shade(mesh, R, t, px, py, inv_z, zmin, winner, hit, out_hw)
+    attr_coef = _face_attr_coefficients(fx, fy, fiz, fvalid, mesh)
+    return _pass2_shade(mesh, R, t, attr_coef, zmin, winner, hit, out_hw)
 
 
 def render_at_bbox(
