@@ -1,0 +1,143 @@
+"""ROS live-tracking node (reference predict_ros.py:19-119 parity).
+
+Subscribes to RGB + depth topics, repairs depth holes with the jittable
+``fill_depth`` (reference Utils.py:455-514 / predict_ros.py:38-41), runs
+the fused TPU track step per frame, and broadcasts the object pose as a
+TF transform. The spin loop wraps tracking in try/except and keeps
+running on failure (reference predict_ros.py:114-119).
+
+rospy/tf/cv_bridge are optional runtime deps (not in this image): the
+module imports lazily and raises a clear error if ROS is absent, but
+``TrackerRosCore`` (the message-free logic) is importable and tested
+everywhere.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+class TrackerRosCore:
+    """ROS-independent core: frame buffers + per-frame update."""
+
+    def __init__(self, tracker, fill_depth_holes: bool = True):
+        from ..ops import depthproc
+
+        self.tracker = tracker
+        self.fill_depth_holes = fill_depth_holes
+        self._fill = depthproc.fill_depth
+        self.color = None
+        self.depth = None
+        self.prev_pose = None
+
+    def grab_color(self, rgb: np.ndarray):
+        self.color = rgb
+
+    def grab_depth(self, depth_m: np.ndarray):
+        """Depth in metres; holes optionally filled (reference
+        predict_ros.py:38-41)."""
+        import jax.numpy as jnp
+
+        if self.fill_depth_holes:
+            depth_m = np.asarray(self._fill(jnp.asarray(depth_m, jnp.float32)))
+        self.depth = depth_m
+
+    def set_init_pose(self, pose: np.ndarray):
+        self.prev_pose = np.asarray(pose, np.float64)
+
+    def on_track(self):
+        """One update; returns the new 4x4 pose or None if not ready
+        (reference predict_ros.py:48-66)."""
+        if self.color is None or self.depth is None or self.prev_pose is None:
+            return None
+        pose = self.tracker.on_track(
+            self.prev_pose, self.color.astype(np.float32),
+            (self.depth * 1000.0).astype(np.float32),
+            gt_A_in_cam=np.eye(4), gt_B_in_cam=np.eye(4),
+        )
+        self.prev_pose = pose
+        return pose
+
+
+def main(argv=None):
+    try:
+        import rospy
+        import tf
+        from cv_bridge import CvBridge
+        from sensor_msgs.msg import Image as RosImage
+    except ImportError as e:  # pragma: no cover - ROS not in this image
+        raise SystemExit(
+            "predict_ros requires a ROS environment (rospy/tf/cv_bridge); "
+            f"missing: {e.name}. The tracking core is importable as "
+            "iros20_6d_pose_tracking_tpu.apps.predict_ros.TrackerRosCore."
+        )
+
+    import yaml
+    from ..tracking.tracker import Tracker
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rgb_topic", default="/camera/color/image_raw")
+    parser.add_argument("--depth_topic",
+                        default="/camera/aligned_depth_to_color/image_raw")
+    parser.add_argument("--artifacts_dir", required=True,
+                        help="dir with checkpoint, dataset_info.yml, "
+                             "mean.npy, std.npy (train output layout)")
+    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--init_pose_file", required=True,
+                        help="txt 4x4 initial object pose in camera frame")
+    parser.add_argument("--rate_hz", type=float, default=60.0)
+    args = parser.parse_args(argv)
+
+    with open(os.path.join(args.artifacts_dir, "dataset_info.yml")) as f:
+        dataset_info = yaml.safe_load(f)
+    mean = np.load(os.path.join(args.artifacts_dir, "mean.npy"))
+    std = np.load(os.path.join(args.artifacts_dir, "std.npy"))
+    ckpt = os.path.join(args.artifacts_dir, "model_best_val.msgpack")
+    tracker = Tracker(dataset_info, mean, std, ckpt_dir=ckpt,
+                      model_path=args.model_path,
+                      trans_normalizer=dataset_info["max_translation"],
+                      rot_normalizer=dataset_info["max_rotation"] * np.pi / 180)
+    core = TrackerRosCore(tracker)
+    core.set_init_pose(np.loadtxt(args.init_pose_file))
+
+    bridge = CvBridge()
+    rospy.init_node("se3_tracknet_tpu")
+    broadcaster = tf.TransformBroadcaster()
+
+    rospy.Subscriber(
+        args.rgb_topic, RosImage,
+        lambda msg: core.grab_color(bridge.imgmsg_to_cv2(msg, "rgb8")),
+        queue_size=1,
+    )
+    rospy.Subscriber(
+        args.depth_topic, RosImage,
+        lambda msg: core.grab_depth(
+            bridge.imgmsg_to_cv2(msg, "passthrough").astype(np.float32) / 1000.0
+        ),
+        queue_size=1,
+    )
+
+    rate = rospy.Rate(args.rate_hz)
+    while not rospy.is_shutdown():
+        try:
+            pose = core.on_track()
+            if pose is not None:
+                R = pose[:3, :3]
+                # rotation matrix -> quaternion (wxyz)
+                qw = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+                qx = (R[2, 1] - R[1, 2]) / max(4 * qw, 1e-9)
+                qy = (R[0, 2] - R[2, 0]) / max(4 * qw, 1e-9)
+                qz = (R[1, 0] - R[0, 1]) / max(4 * qw, 1e-9)
+                broadcaster.sendTransform(
+                    pose[:3, 3], (qx, qy, qz, qw), rospy.Time.now(),
+                    "tracked_object", "camera",
+                )
+        except Exception as e:  # keep spinning (reference predict_ros.py:114-119)
+            rospy.logwarn(f"track step failed: {e}")
+        rate.sleep()
+
+
+if __name__ == "__main__":
+    main()

@@ -130,7 +130,7 @@ class PairProducer:
 def _save_png16(path: str, img: np.ndarray):
     from PIL import Image
 
-    Image.fromarray(img, mode="I;16").save(path)
+    Image.fromarray(img).save(path)  # uint16 -> I;16 PNG
 
 
 def render_dr_scene(mesh: rz.MeshArrays, K, pose, key,
@@ -201,4 +201,90 @@ def produce_dataset(
             out_dir, pose, np.asarray(rgb), np.asarray(depth), 1,
             class_id=1, current_seg=np.asarray(seg), key=kp,
         )
+    return train_dir, val_dir
+
+
+def complete_blender(
+    generated_dir: str,
+    out_root: str,
+    dataset_info: dict,
+    mesh: rz.MeshArrays | None = None,
+    class_id: int = 0,
+    seed: int = 0,
+):
+    """Convert Blender DR renders into training pairs — protocol parity
+    with reference produce_train_pair_data.py:145-227.
+
+    Reads ``<generated_dir>/%07d{rgb,depth,seg}.png + poses_in_world.npz``
+    (keys class_ids / poses_in_world / blendercam_in_world, reference
+    blender_dataset_generator.py:367-384), converts poses from the Blender
+    camera frame to the CV camera frame (cvcam_in_blendercam = diag(1,-1,-1)
+    flip, reference :172-200), produces ONE perturbation pair per image,
+    and moves the last ``val_samples`` pairs into the validation split.
+    Blender itself stays an optional external stage; this framework's
+    rasterizer renders the A branch.
+    """
+    import glob as _glob
+    import shutil
+
+    from PIL import Image
+    from ..core.camera import Camera
+
+    cam = Camera.from_dict(dataset_info["camera"])
+    if mesh is None:
+        from ..render import mesh as mesh_mod
+
+        mesh = rz.upload(mesh_mod.load_mesh(
+            dataset_info["models"][0]["model_path"]))
+    cfg = ProducerConfig(
+        resolution=int(dataset_info["resolution"]),
+        object_width_mm=float(dataset_info["object_width"]),
+        max_translation=float(dataset_info["max_translation"]),
+        max_rotation_deg=float(dataset_info["max_rotation"]),
+        width=cam.width,
+        height=cam.height,
+    )
+    train_dir = os.path.join(out_root, "train_data_blender_DR")
+    val_dir = os.path.join(out_root, "validation_data_blender_DR")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(val_dir, exist_ok=True)
+
+    # Blender cam -> CV cam: y/z flip (reference :172-175).
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    producer = PairProducer(mesh, cam.K, cfg)
+    key = jax.random.PRNGKey(seed)
+
+    rgb_files = sorted(_glob.glob(os.path.join(generated_dir, "*rgb.png")))
+    assert rgb_files, generated_dir
+    for i, rgb_file in enumerate(rgb_files):
+        if i % 100 == 0:
+            print(f"pair data {i}/{len(rgb_files)}", flush=True)
+        meta = np.load(rgb_file.replace("rgb.png", "poses_in_world.npz"))
+        pos = np.where(meta["class_ids"] == class_id)[0]
+        pose_w = meta["poses_in_world"][pos].reshape(4, 4)
+        B_in_cam = flip @ np.linalg.inv(meta["blendercam_in_world"]) @ pose_w
+
+        seg = np.array(Image.open(rgb_file.replace("rgb", "seg")))
+        if seg.ndim == 3:
+            seg = seg[..., 0]
+        if (seg == class_id).sum() < cfg.min_visible_px:
+            continue
+        rgb = np.array(Image.open(rgb_file))[..., :3]
+        depth = np.array(Image.open(rgb_file.replace("rgb", "depth")))
+        key, sub = jax.random.split(key)
+        producer.generate(train_dir, B_in_cam, rgb, depth.astype(np.float32),
+                          num_sample=1, class_id=class_id, current_seg=seg,
+                          key=sub)
+
+    # Move the tail into validation (reference :214-226).
+    num_val = int(dataset_info.get("val_samples", 0))
+    pairs = sorted(_glob.glob(os.path.join(train_dir, "*rgbA.png")))
+    pairs.reverse()
+    for j in range(min(num_val, len(pairs))):
+        src = pairs[j]
+        for suffix in ("rgbA", "rgbB", "depthA", "depthB", "segB"):
+            shutil.move(src.replace("rgbA", suffix),
+                        os.path.join(val_dir, f"{j:07d}{suffix}.png"))
+        shutil.move(src.replace("rgbA.png", "meta.npz"),
+                    os.path.join(val_dir, f"{j:07d}meta.npz"))
     return train_dir, val_dir
