@@ -60,28 +60,11 @@ def main(argv=None):
     with open(os.path.join(output_path, "config_backup.yml"), "w") as f:
         yaml.dump(config, f)
 
+    from ..utils.config import train_config_from_yaml
+
     res = int(dataset_info["resolution"])
-    aug_c = config.get("data_augmentation", {})
-    hsv = aug_c.get("hsv_noise", [15, 15, 15])
-    cfg = tr.TrainConfig(
-        learning_rate=float(config.get("learning_rate", 1e-3)),
-        weight_decay=float(config.get("weight_decay", 1e-6)),
-        epochs=int(args.epochs or config.get("epochs", 300)),
-        batch_size=int(config.get("batch_size", 200)),
-        trans_loss_weight=float(config.get("loss_weights", {}).get("trans", 1)),
-        rot_loss_weight=float(config.get("loss_weights", {}).get("rot", 1)),
-        trans_normalizer=float(dataset_info["max_translation"]),
-        rot_normalizer=float(dataset_info["max_rotation"]) * np.pi / 180,
-        resolution=res,
-        aug=A.AugmentConfig(
-            hsv_noise=tuple(hsv),
-            bright_mag=tuple(aug_c.get("bright_mag", [0.5, 1.5])),
-            rgb_noise=float(aug_c.get("gaussian_noise", {}).get("rgb", 2)),
-            depth_noise=float(aug_c.get("gaussian_noise", {}).get("depth", 5)),
-            blur_max_kernel=int(aug_c.get("gaussian_blur_kernel", 6)),
-            black_cover_prob=0.2,  # reference train.py:90
-        ),
-    )
+    overrides = {"epochs": int(args.epochs)} if args.epochs else {}
+    cfg = train_config_from_yaml(config, dataset_info, **overrides)
 
     # -- data sources --------------------------------------------------
     if args.synthetic:
