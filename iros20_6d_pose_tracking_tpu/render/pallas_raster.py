@@ -86,9 +86,17 @@ def build_face_coefficients(fx, fy, fiz, fvalid):
 
 
 def build_block_bboxes(fx, fy, fvalid, face_block: int):
-    """Per-face-block screen bbox (nb, 4): [xmin, xmax, ymin, ymax].
+    """Per-face-block screen bbox (nb, 4): [xmin, xmax, ymin, ymax],
+    nb = ceil(F / face_block) (trailing partial blocks padded empty).
     Invalid-only blocks get an empty bbox (xmin > xmax)."""
     F = fx.shape[0]
+    if F % face_block:
+        pad = face_block - F % face_block
+        fx = jnp.concatenate([fx, jnp.zeros((pad, 3), fx.dtype)], 0)
+        fy = jnp.concatenate([fy, jnp.zeros((pad, 3), fy.dtype)], 0)
+        fvalid = jnp.concatenate(
+            [fvalid, jnp.zeros((pad,), jnp.bool_)], 0)
+        F += pad
     nb = F // face_block
     big = jnp.float32(3.0e8)
     vx = jnp.where(fvalid[:, None], fx, big)
@@ -102,59 +110,68 @@ def build_block_bboxes(fx, fy, fvalid, face_block: int):
     return jnp.stack([xmin, xmax, ymin, ymax], axis=1).astype(jnp.float32)
 
 
-def _kernel(bbox_ref, coef_ref, iz_ref, idx_ref, acc_iz, acc_idx, *,
+def _kernel(bbox_ref, coef_ref, iz_ref, idx_ref, *,
             pix_tile, face_block, width, n_blocks):
+    """Grid is pixel tiles only; the face-block loop runs INSIDE the
+    kernel over the VMEM-resident (12, F) coefficient matrix. This keeps
+    the per-block skip essentially free: a skipped block costs one SMEM
+    bbox test, not a grid step + block DMA. The whole coefficient matrix
+    is a few hundred KB for typical meshes — far under VMEM."""
     i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        acc_iz[:] = jnp.full_like(acc_iz, -1.0)
-        acc_idx[:] = jnp.zeros_like(acc_idx)
-
-    # Tile's pixel-row range for the bbox skip test.
     first_q = i * pix_tile
+    # Tile's pixel-row range for the bbox skip test.
     y0 = (first_q // width).astype(jnp.float32)
     y1 = ((first_q + pix_tile - 1) // width).astype(jnp.float32)
-    xmin = bbox_ref[j, 0]
-    xmax = bbox_ref[j, 1]
-    ymin = bbox_ref[j, 2]
-    ymax = bbox_ref[j, 3]
-    hit = (
-        (xmax >= 0.0) & (xmin <= width - 1.0) & (ymax >= y0) & (ymin <= y1)
+    q = first_q + jax.lax.broadcasted_iota(jnp.int32, (pix_tile, 1), 0)
+    px = (q % width).astype(jnp.float32)
+    py = (q // width).astype(jnp.float32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (pix_tile, face_block), 1)
+
+    def block(j, carry):
+        acc_iz, acc_idx = carry
+        xmin = bbox_ref[j, 0]
+        xmax = bbox_ref[j, 1]
+        ymin = bbox_ref[j, 2]
+        ymax = bbox_ref[j, 3]
+        hit = ((xmax >= 0.0) & (xmin <= width - 1.0)
+               & (ymax >= y0) & (ymin <= y1))
+
+        def body(carry):
+            acc_iz, acc_idx = carry
+            s = pl.multiple_of(j * face_block, face_block)
+
+            def form(row):
+                a = coef_ref[row, pl.ds(s, face_block)].reshape(1, face_block)
+                b = coef_ref[row + 1, pl.ds(s, face_block)].reshape(1, face_block)
+                c = coef_ref[row + 2, pl.ds(s, face_block)].reshape(1, face_block)
+                return px * a + py * b + c
+
+            e0 = form(ROW_A0)
+            e1 = form(ROW_A1)
+            e2 = form(ROW_A2)
+            izp = form(ROW_AW)
+            covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+            zc = jnp.where(covered & (izp > 0.0), izp, -1.0)
+            best = jnp.max(zc, axis=1, keepdims=True)  # (TP, 1)
+            arg = jnp.min(
+                jnp.where(zc >= best, lanes, face_block), axis=1,
+                keepdims=True,
+            )
+            better = best > acc_iz
+            return (
+                jnp.where(better, best, acc_iz),
+                jnp.where(better, arg + j * face_block, acc_idx),
+            )
+
+        return jax.lax.cond(hit, body, lambda c: c, (acc_iz, acc_idx))
+
+    init = (
+        jnp.full((pix_tile, 1), -1.0, jnp.float32),
+        jnp.zeros((pix_tile, 1), jnp.int32),
     )
-
-    @pl.when(hit)
-    def _():
-        q = first_q + jax.lax.broadcasted_iota(jnp.int32, (pix_tile, 1), 0)
-        px = (q % width).astype(jnp.float32)
-        py = (q // width).astype(jnp.float32)
-
-        def form(row):
-            a = coef_ref[row, :].reshape(1, face_block)
-            b = coef_ref[row + 1, :].reshape(1, face_block)
-            c = coef_ref[row + 2, :].reshape(1, face_block)
-            return px * a + py * b + c
-
-        e0 = form(ROW_A0)
-        e1 = form(ROW_A1)
-        e2 = form(ROW_A2)
-        izp = form(ROW_AW)
-        covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
-        zc = jnp.where(covered & (izp > 0.0), izp, -1.0)
-        best = jnp.max(zc, axis=1, keepdims=True)  # (TP, 1)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (pix_tile, face_block), 1)
-        arg = jnp.min(
-            jnp.where(zc >= best, lanes, face_block), axis=1, keepdims=True
-        )
-        better = best > acc_iz[:]
-        acc_iz[:] = jnp.where(better, best, acc_iz[:])
-        acc_idx[:] = jnp.where(better, arg + j * face_block, acc_idx[:])
-
-    @pl.when(j == n_blocks - 1)
-    def _():
-        iz_ref[:] = acc_iz[:]
-        idx_ref[:] = acc_idx[:]
+    acc_iz, acc_idx = jax.lax.fori_loop(0, n_blocks, block, init)
+    iz_ref[:] = acc_iz
+    idx_ref[:] = acc_idx
 
 
 def pallas_pass1(coef, block_bbox, hw: tuple[int, int],
@@ -168,7 +185,19 @@ def pallas_pass1(coef, block_bbox, hw: tuple[int, int],
     n_pix_tiles = -(-P // pix_tile)
     P_pad = n_pix_tiles * pix_tile
     F = coef.shape[1]
+    if F % face_block:
+        # Pad with poisoned (never-covered) lanes and empty bboxes.
+        pad = face_block - F % face_block
+        pad_coef = jnp.zeros((12, pad), coef.dtype)
+        pad_coef = pad_coef.at[ROW_C0].set(-1.0)
+        pad_coef = pad_coef.at[ROW_C1].set(-1.0)
+        pad_coef = pad_coef.at[ROW_C2].set(-1.0)
+        coef = jnp.concatenate([coef, pad_coef], axis=1)
+        F += pad
     n_blocks = F // face_block
+    assert block_bbox.shape[0] == n_blocks, (
+        f"block_bbox has {block_bbox.shape[0]} rows, kernel needs {n_blocks}"
+    )
 
     kernel = functools.partial(
         _kernel,
@@ -179,27 +208,20 @@ def pallas_pass1(coef, block_bbox, hw: tuple[int, int],
     )
     iz, idx = pl.pallas_call(
         kernel,
-        grid=(n_pix_tiles, n_blocks),
+        grid=(n_pix_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # block_bbox (nb, 4)
-            pl.BlockSpec(
-                (12, face_block), lambda i, j: (0, j),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # block_bbox (nb, 4)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # coef (12, F), resident
         ],
         out_specs=[
-            pl.BlockSpec((pix_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((pix_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pix_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((pix_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((P_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((P_pad, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((pix_tile, 1), jnp.float32),
-            pltpu.VMEM((pix_tile, 1), jnp.int32),
         ],
         interpret=interpret,
     )(block_bbox, coef)

@@ -340,9 +340,13 @@ def render(
         hit = jnp.isfinite(zmin) & (zmin < far)
     elif impl in ("pallas", "pallas_interpret"):
         coef, _ = pr.build_face_coefficients(fx, fy, fiz, fvalid)
-        bbox = pr.build_block_bboxes(fx, fy, fvalid, face_block)
+        # Kernel block size: biggest of {1024, 512, 256} dividing F (fewer,
+        # larger blocks measured fastest; mesh padding guarantees 256 |  F).
+        F = fx.shape[0]
+        fb = next((b for b in (1024, 512, 256) if F % b == 0), F)
+        bbox = pr.build_block_bboxes(fx, fy, fvalid, fb)
         izbest, winner = pr.pallas_pass1(
-            coef, bbox, out_hw, face_block=face_block,
+            coef, bbox, out_hw, face_block=fb,
             interpret=(impl == "pallas_interpret"),
         )
         found = izbest > 1e-9
