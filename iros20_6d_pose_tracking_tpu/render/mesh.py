@@ -416,3 +416,60 @@ def make_icosphere(subdiv: int = 3, radius: float = 0.05,
     ).astype(np.float32)
     colors = 0.3 * np.array(color, np.float32) + 0.7 * colors
     return build_trimesh(verts, faces.astype(np.int32), colors, normals)
+
+
+def decimate(verts: np.ndarray, faces: np.ndarray, colors: np.ndarray | None,
+             target_faces: int, iters: int = 8):
+    """Vertex-clustering decimation to approximately ``target_faces``.
+
+    Production CAD scans often carry 10-100x more triangles than a
+    176x176 ROI can resolve; rasterization cost is linear in face count,
+    so decimation is the single biggest tracking-throughput lever. Grid
+    resolution is bisected until the face count lands near the target.
+
+    Returns (verts, faces, colors) with degenerate faces removed.
+    """
+    verts = np.asarray(verts, np.float64)
+    lo, hi = verts.min(0), verts.max(0)
+    extent = float(np.max(hi - lo))
+    if len(faces) <= target_faces:
+        return (verts.astype(np.float32), faces.astype(np.int32),
+                None if colors is None else np.asarray(colors, np.float32))
+
+    def cluster(cell):
+        keys = np.floor((verts - lo) / cell).astype(np.int64)
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        n = len(uniq)
+        sums = np.zeros((n, 3))
+        cnt = np.zeros((n, 1))
+        np.add.at(sums, inv, verts)
+        np.add.at(cnt, inv, 1.0)
+        new_verts = sums / cnt
+        new_faces = inv[faces]
+        keep = (
+            (new_faces[:, 0] != new_faces[:, 1])
+            & (new_faces[:, 1] != new_faces[:, 2])
+            & (new_faces[:, 0] != new_faces[:, 2])
+        )
+        new_faces = new_faces[keep]
+        new_colors = None
+        if colors is not None:
+            csum = np.zeros((n, colors.shape[1]))
+            np.add.at(csum, inv, np.asarray(colors, np.float64))
+            new_colors = csum / cnt
+        return new_verts, new_faces, new_colors
+
+    lo_cell, hi_cell = extent / 512.0, extent / 2.0
+    best = None
+    for _ in range(iters):
+        cell = np.sqrt(lo_cell * hi_cell)  # geometric bisection
+        v, f, c = cluster(cell)
+        if best is None or abs(len(f) - target_faces) < abs(len(best[1]) - target_faces):
+            best = (v, f, c)
+        if len(f) > target_faces:
+            lo_cell = cell  # need coarser grid
+        else:
+            hi_cell = cell
+    v, f, c = best
+    return (v.astype(np.float32), f.astype(np.int32),
+            None if c is None else c.astype(np.float32))
