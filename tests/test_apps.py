@@ -1,0 +1,165 @@
+"""End-to-end CLI drives: predict, train --synthetic, datagen."""
+import os
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from iros20_6d_pose_tracking_tpu.core import se3
+from iros20_6d_pose_tracking_tpu.render import mesh as M
+from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+
+RES = 64
+K = np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1.0]], np.float32)
+IMG_W, IMG_H = 160, 120
+
+
+def _write_obj(tm, path):
+    with open(path, "w") as f:
+        for v in tm.verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for fc in tm.faces[: tm.num_faces]:
+            f.write(f"f {fc[0]+1} {fc[1]+1} {fc[2]+1}\n")
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    """Synthetic YCB-style tree + artifacts (mesh, dataset_info, mean/std)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ycbfix")
+    seq = root / "0048"
+    for d in ("color", "depth_filled", "pose_gt/4"):
+        (seq / d).mkdir(parents=True)
+    tm = M.make_icosphere(subdiv=2, radius=0.05)
+    _write_obj(tm, root / "object.obj")
+    mesh = rz.upload(tm)
+    for i in range(4):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.004 * i, -0.002 * i, 0.5 + 0.002 * i]
+        pose[:3, :3] = np.asarray(se3.so3_exp(jnp.array([0, 0.03 * i, 0.0])))
+        rgb, depth = rz.render(mesh, jnp.array(pose), jnp.array(K),
+                               rz.full_frame_window(IMG_W, IMG_H),
+                               out_hw=(IMG_H, IMG_W))
+        Image.fromarray(np.asarray(rgb).astype(np.uint8)).save(
+            seq / "color" / f"{i:06d}.png")
+        Image.fromarray(np.asarray(depth).astype(np.uint16)).save(
+            seq / "depth_filled" / f"{i:06d}.png")
+        np.savetxt(seq / "pose_gt" / "4" / f"{i:06d}.txt", pose)
+
+    (root / "train_data").mkdir()
+    info = {
+        "camera": {"focalX": 300.0, "focalY": 300.0, "centerX": 80.0,
+                   "centerY": 60.0, "width": IMG_W, "height": IMG_H},
+        "resolution": RES, "boundingbox": 10,
+        "max_translation": 0.02, "max_rotation": 15,
+        "train_samples": 8, "val_samples": 4,
+        "models": {0: {"model_path": str(root / "object.obj")}},
+    }
+    with open(root / "dataset_info.yml", "w") as f:
+        yaml.dump(info, f)
+    np.save(root / "mean.npy", np.zeros(8))
+    np.save(root / "std.npy", np.full(8, 100.0))
+    return root
+
+
+def test_predict_cli_ycbv(fixture_root, tmp_path):
+    from iros20_6d_pose_tracking_tpu.apps import predict
+
+    out = tmp_path / "res" / "seq0048"
+    predict.main([
+        "--mode", "ycbv", "--seq_id", "48", "--class_id", "4",
+        "--ycb_dir", str(fixture_root),
+        "--train_data_path", str(fixture_root / "train_data"),
+        "--mean_std_path", str(fixture_root),
+        "--model_path", str(fixture_root / "object.obj"),
+        "--outdir", str(out), "--track_mode", "scan",
+    ])
+    poses = sorted(p for p in os.listdir(out) if p.endswith(".txt")
+                   and "gt" not in p)
+    assert len(poses) == 4
+    p0 = np.loadtxt(out / poses[0])
+    assert p0.shape == (4, 4)
+    np.testing.assert_allclose(p0[3], [0, 0, 0, 1])
+
+
+def test_predict_cli_ycbineoat(fixture_root, tmp_path):
+    from iros20_6d_pose_tracking_tpu.apps import predict
+
+    # Rearrange the fixture into the YCBInEOAT layout.
+    vid = tmp_path / "mustard_fix"
+    (vid / "rgb").mkdir(parents=True)
+    (vid / "depth_filled").mkdir()
+    (vid / "annotated_poses").mkdir()
+    seq = fixture_root / "0048"
+    for i in range(4):
+        os.link(seq / "color" / f"{i:06d}.png", vid / "rgb" / f"{i:06d}.png")
+        os.link(seq / "depth_filled" / f"{i:06d}.png",
+                vid / "depth_filled" / f"{i:06d}.png")
+        os.link(seq / "pose_gt" / "4" / f"{i:06d}.txt",
+                vid / "annotated_poses" / f"{i:06d}.txt")
+    out = tmp_path / "res_eoat"
+    predict.main([
+        "--mode", "ycbineoat", "--YCBInEOAT_dir", str(vid),
+        "--train_data_path", str(fixture_root / "train_data"),
+        "--mean_std_path", str(fixture_root),
+        "--model_path", str(fixture_root / "object.obj"),
+        "--outdir", str(out),
+    ])
+    # One pose txt per frame, every frame (reference predict.py:603-611).
+    assert len([p for p in os.listdir(out) if p.endswith(".txt")]) == 4
+
+
+def test_train_cli_synthetic(fixture_root, tmp_path):
+    from iros20_6d_pose_tracking_tpu.apps import train as train_app
+
+    cfg = {
+        "data_path": str(fixture_root / "train_data"),
+        "validation_path": str(fixture_root / "train_data"),
+        "learning_rate": 1e-3, "weight_decay": 1e-6,
+        "epochs": 1, "batch_size": 4,
+        "loss_weights": {"trans": 1, "rot": 1},
+        "data_augmentation": {"hsv_noise": [15, 15, 15],
+                              "bright_mag": [0.5, 1.5],
+                              "gaussian_noise": {"rgb": 2, "depth": 5},
+                              "gaussian_blur_kernel": 6},
+    }
+    cfg_path = tmp_path / "config.yml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    outdir = tmp_path / "train_out"
+    train_app.main([
+        "--config", str(cfg_path), "--output_path", str(outdir),
+        "--synthetic", "--model_path", str(fixture_root / "object.obj"),
+        "--epochs", "1",
+    ])
+    files = set(os.listdir(outdir))
+    assert {"mean.npy", "std.npy", "dataset_info.yml", "config_backup.yml",
+            "checkpoint_last.msgpack"} <= files
+    assert "model_best_train.msgpack" in files
+    # The checkpoint loads into a Tracker.
+    from iros20_6d_pose_tracking_tpu.tracking.tracker import Tracker
+
+    with open(fixture_root / "dataset_info.yml") as f:
+        info = yaml.safe_load(f)
+    t = Tracker(info, np.load(outdir / "mean.npy"),
+                np.load(outdir / "std.npy"),
+                ckpt_dir=str(outdir / "model_best_train.msgpack"),
+                model_path=str(fixture_root / "object.obj"))
+    assert t.cfg.resolution == RES
+
+
+def test_datagen_cli_dr(fixture_root, tmp_path):
+    from iros20_6d_pose_tracking_tpu.apps import datagen
+
+    out = tmp_path / "gen"
+    datagen.main([
+        "--mode", "dr", "--dataset_info", str(fixture_root / "dataset_info.yml"),
+        "--out_root", str(out), "--train_samples", "3", "--val_samples", "1",
+    ])
+    from iros20_6d_pose_tracking_tpu.data.dataset import PairDataset
+
+    assert len(PairDataset(str(out / "train_data_blender_DR"), RES)) == 3
+    assert len(PairDataset(str(out / "validation_data_blender_DR"), RES)) == 1
