@@ -145,3 +145,61 @@ def batched_track_videos(model, cfg, mesh: Mesh):
                       frames_rgb, frames_depth)
 
     return jax.jit(run)
+
+
+def stack_meshes(meshes: list) -> Any:
+    """Stack per-object TriMeshes into one ensemble MeshArrays with a
+    leading object axis; faces padded to the largest object's count so
+    shapes are uniform (fmask already marks real faces)."""
+    import numpy as np
+
+    from ..render import mesh as mesh_mod
+    from ..render import rasterizer as rz
+
+    max_f = max(m.faces.shape[0] for m in meshes)
+    uploaded = []
+    for m in meshes:
+        pad = max_f - m.faces.shape[0]
+        if pad:
+            m = mesh_mod.TriMesh(
+                verts=m.verts,
+                faces=np.concatenate(
+                    [m.faces, np.zeros((pad, 3), np.int32)], 0),
+                colors=m.colors,
+                normals=m.normals,
+                num_faces=m.num_faces,
+            )
+        uploaded.append(rz.upload(m))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *uploaded)
+
+
+def multi_object_track_videos(model, cfg, mesh: Mesh):
+    """Track O objects (each with its own model weights, CAD mesh, ROI
+    width, and video) in one SPMD program: vmap over the object axis,
+    sharded on ('obj', 'dp'). The per-frame recurrence stays sequential
+    per video; the ensemble axis is the parallel one.
+
+    Returns run(ens_vars, ens_meshes, K, mean, std, widths, init_poses,
+    frames_rgb, frames_depth) -> (O, T, 4, 4).
+    """
+    from ..tracking import tracker as trk
+
+    vtrack = jax.vmap(
+        functools.partial(trk.track_video, model, cfg),
+        in_axes=(0, 0, None, None, None, 0, 0, 0, 0),
+    )
+    obj_sh = _leaf_spec(mesh, "obj")
+
+    def run(ens_vars, ens_meshes, K, mean, std, init_poses, frames_rgb,
+            frames_depth, widths):
+        ens_vars = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, obj_sh(x)), ens_vars
+        )
+        ens_meshes = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, obj_sh(x)),
+            ens_meshes,
+        )
+        return vtrack(ens_vars, ens_meshes, K, mean, std, init_poses,
+                      frames_rgb, frames_depth, widths)
+
+    return jax.jit(run)

@@ -1,0 +1,145 @@
+"""Multi-hypothesis tracking and track-health scoring.
+
+The reference scaffolds a ``samples`` parameter but only ever evaluates
+hypothesis 0 (reference predict.py:229-231,293-296). Here the feature is
+real and TPU-shaped:
+
+  - ``track_step_multi``: vmap the fused track step over N perturbed
+    pose hypotheses in one compiled program (the CNN runs as one batch-N
+    forward), then select the winner by geometric agreement between the
+    re-rendered estimate and the observed depth.
+  - ``depth_agreement``: the selection metric — fraction of rendered
+    pixels whose depth matches the observed crop within a tolerance.
+    Doubles as a per-frame TRACK-HEALTH score: the reference has no
+    failure detection beyond manual re-initialization
+    (reference predict.py:539-541, SURVEY.md section 5); thresholding
+    this score gives an automatic drift signal.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..ops import roi as roi_ops
+from ..render import rasterizer as rz
+from . import tracker as trk
+
+
+def depth_agreement(
+    mesh: rz.MeshArrays,
+    pose: jax.Array,
+    K: jax.Array,
+    frame_depth_mm: jax.Array,
+    cfg: trk.TrackerConfig,
+    tol_mm: float = 20.0,
+):
+    """Render-vs-observed depth consistency in the pose's ROI.
+
+    Returns a score in [0, 1]: over pixels where the render says the
+    object is, the fraction whose observed depth lies within ``tol_mm``.
+    Occluded-object pixels (observed closer than rendered) are excluded
+    from the denominator so partial occlusion doesn't read as drift.
+    """
+    res = (cfg.resolution, cfg.resolution)
+    bbox = roi_ops.compute_bbox(pose, K, cfg.object_width_mm,
+                                (1000.0, 1000.0, 1000.0))
+    window = rz.window_from_bbox(bbox)
+    _, depth_r = rz.render(mesh, pose, K, window, out_hw=res,
+                           near=cfg.near, far=cfg.far, impl=cfg.render_impl)
+    depth_o = roi_ops.crop_resize_nearest(
+        frame_depth_mm,
+        jnp.min(bbox[:, 0]), jnp.min(bbox[:, 1]),
+        jnp.max(bbox[:, 0]) - jnp.min(bbox[:, 0]),
+        jnp.max(bbox[:, 1]) - jnp.min(bbox[:, 1]),
+        res,
+    )
+    rendered = depth_r > 0
+    observed = depth_o > 100.0
+    sil = rendered & observed  # silhouette pixels with a valid observation
+    occluded = sil & (depth_o < depth_r - tol_mm)
+    denom_mask = sil & ~occluded
+    match = denom_mask & (jnp.abs(depth_r - depth_o) <= tol_mm)
+    # Occluded pixels are excused from the denominator, but only up to
+    # 75% of the silhouette: if "occlusion" explains nearly everything,
+    # the pose is simply wrong (e.g. too far -> observation uniformly
+    # nearer), and the score must collapse rather than divide 3/3.
+    denom = jnp.maximum(
+        jnp.sum(denom_mask.astype(jnp.float32)),
+        0.25 * jnp.sum(sil.astype(jnp.float32)),
+    )
+    score = jnp.sum(match.astype(jnp.float32)) / jnp.maximum(denom, 1.0)
+    # No overlap at all -> zero confidence.
+    any_overlap = jnp.sum(sil.astype(jnp.float32)) > 16.0
+    return jnp.where(any_overlap, score, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "cfg", "samples"))
+def track_step_multi(
+    model,
+    cfg: trk.TrackerConfig,
+    variables,
+    mesh: rz.MeshArrays,
+    K: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    prev_pose: jax.Array,
+    frame_rgb: jax.Array,
+    frame_depth_mm: jax.Array,
+    key: jax.Array,
+    samples: int = 4,
+    perturb_trans: float = 0.01,
+    perturb_rot_deg: float = 5.0,
+):
+    """Multi-hypothesis update: hypothesis 0 is the previous pose, the
+    rest are se(3) perturbations of it; all N run through the fused step
+    (batched CNN), and the depth-agreement winner is returned.
+
+    Returns (pose, score, aux) where score is the winner's health.
+    """
+    keys = jax.random.split(key, samples - 1) if samples > 1 else None
+    poses = [prev_pose]
+    if samples > 1:
+        perturb = se3.random_gaussian_magnitude(
+            key, perturb_trans, perturb_rot_deg, (samples - 1,)
+        )
+        poses_rest = prev_pose[None] @ perturb
+        hypo = jnp.concatenate([prev_pose[None], poses_rest], axis=0)
+    else:
+        hypo = prev_pose[None]
+
+    def one(p):
+        new_pose, _ = trk.track_step(
+            model, cfg, variables, mesh, K, mean, std, p, frame_rgb,
+            frame_depth_mm,
+        )
+        score = depth_agreement(mesh, new_pose, K, frame_depth_mm, cfg)
+        return new_pose, score
+
+    new_poses, scores = jax.vmap(one)(hypo)
+    best = jnp.argmax(scores)
+    return new_poses[best], scores[best], {"scores": scores,
+                                           "poses": new_poses}
+
+
+class ReinitPolicy:
+    """Automatic drift handling: when health drops below ``threshold``
+    for ``patience`` consecutive frames, report tracking lost so the
+    caller can re-initialize (the reference's only recovery is manual
+    --reinit_frames, predict.py:539-541)."""
+
+    def __init__(self, threshold: float = 0.3, patience: int = 3):
+        self.threshold = threshold
+        self.patience = patience
+        self.bad_streak = 0
+
+    def update(self, score: float) -> bool:
+        """Returns True when tracking should be re-initialized."""
+        if score < self.threshold:
+            self.bad_streak += 1
+        else:
+            self.bad_streak = 0
+        return self.bad_streak >= self.patience

@@ -89,6 +89,7 @@ def track_step(
     prev_pose: jax.Array,
     frame_rgb: jax.Array,
     frame_depth_mm: jax.Array,
+    object_width_mm: jax.Array | None = None,
 ):
     """One tracking update. All device-side; returns the new 4x4 pose.
 
@@ -96,13 +97,17 @@ def track_step(
       prev_pose: (4, 4) previous object-in-camera estimate.
       frame_rgb: (H, W, 3) current frame, float32 in [0, 255].
       frame_depth_mm: (H, W) current depth in millimetres (float32).
+      object_width_mm: optional traced override of the config's ROI width
+        (used by the multi-object ensemble path, where the width differs
+        per vmapped object and therefore cannot be static).
 
     Returns:
       new_pose (4, 4), plus a dict of intermediates for debugging/viz.
     """
     res = (cfg.resolution, cfg.resolution)
+    width = cfg.object_width_mm if object_width_mm is None else object_width_mm
     bbox = roi_ops.compute_bbox(
-        prev_pose, K, cfg.object_width_mm, (1000.0, 1000.0, 1000.0)
+        prev_pose, K, width, (1000.0, 1000.0, 1000.0)
     )
     # Observed branch (B): crop + nearest-resize the real frame.
     rgbB, depthB = roi_ops.crop_bbox(frame_rgb, frame_depth_mm, bbox, res)
@@ -138,6 +143,7 @@ def track_video(
     init_pose: jax.Array,
     frames_rgb: jax.Array,       # (T, H, W, 3)
     frames_depth_mm: jax.Array,  # (T, H, W)
+    object_width_mm: jax.Array | None = None,
 ):
     """Track a preloaded video with ``lax.scan`` (one compile, zero host
     round-trips). Returns (T, 4, 4) per-frame poses — the output protocol
@@ -146,7 +152,8 @@ def track_video(
     def step(pose, frame):
         rgb, depth = frame
         new_pose, _ = track_step(
-            model, cfg, variables, mesh, K, mean, std, pose, rgb, depth
+            model, cfg, variables, mesh, K, mean, std, pose, rgb, depth,
+            object_width_mm,
         )
         return new_pose, new_pose
 

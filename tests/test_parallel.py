@@ -104,3 +104,56 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.asarray(out).shape == (4, 4)
+
+
+def test_multi_object_track_videos():
+    """Two objects with different meshes/widths tracked in one SPMD
+    program over the ('obj', 'dp') mesh."""
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.render import mesh as M
+    from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+    from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+    mesh = spmd.make_mesh(8, obj=2)
+    res = 48
+    model = tracknet.Se3TrackNet(image_size=res)
+    cfg = trk.TrackerConfig(resolution=res)
+
+    tms = [M.make_icosphere(subdiv=2, radius=0.05), M.make_cube(0.08)]
+    ens_meshes = spmd.stack_meshes(tms)
+    assert ens_meshes.fverts.shape[0] == 2
+
+    # Zero-head variables so poses stay at init (plumbing check).
+    ens_vars = []
+    for i in range(2):
+        v = tracknet.init_variables(model, jax.random.PRNGKey(i))
+        p = v["params"]
+        for head in ("trans_out", "rot_out"):
+            p[head]["kernel"] = jnp.zeros_like(p[head]["kernel"])
+            p[head]["bias"] = jnp.zeros_like(p[head]["bias"])
+        ens_vars.append({"params": p, "batch_stats": v["batch_stats"]})
+    ens_vars = jax.tree.map(lambda *xs: jnp.stack(xs), *ens_vars)
+
+    K = jnp.array([[200.0, 0, 24.0], [0, 200.0, 24.0], [0, 0, 1.0]])
+    pose = jnp.eye(4).at[2, 3].set(0.5)
+    init_poses = jnp.stack([pose, pose])
+    widths = jnp.array([110.0, 150.0])
+
+    frames = []
+    for tm in tms:
+        rgb, depth = rz.render(rz.upload(tm), pose, K,
+                               rz.full_frame_window(48, 48), out_hw=(48, 48))
+        frames.append((jnp.stack([rgb] * 3), jnp.stack([depth] * 3)))
+    frames_rgb = jnp.stack([f[0] for f in frames])
+    frames_depth = jnp.stack([f[1] for f in frames])
+
+    run = spmd.multi_object_track_videos(model, cfg, mesh)
+    with mesh:
+        poses = run(ens_vars, ens_meshes, K, jnp.zeros(8), jnp.full(8, 100.0),
+                    init_poses, frames_rgb, frames_depth, widths)
+    assert poses.shape == (2, 3, 4, 4)
+    np.testing.assert_allclose(np.asarray(poses[0, -1]), np.asarray(pose),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(poses[1, -1]), np.asarray(pose),
+                               atol=1e-6)
