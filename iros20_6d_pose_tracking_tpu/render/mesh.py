@@ -331,9 +331,12 @@ def load_mesh(path: str) -> TriMesh:
 # Procedural meshes (tests, demos, synthetic data generation)
 # ---------------------------------------------------------------------------
 
-def make_cube(size: float = 0.1, color=(0.8, 0.2, 0.2)) -> TriMesh:
+def make_cube(size: float = 0.1, color=(0.8, 0.2, 0.2),
+              distinct_faces: bool = True) -> TriMesh:
     """Axis-aligned cube centered at origin with per-face-correct normals
-    (vertices duplicated per face)."""
+    (vertices duplicated per face). With ``distinct_faces`` each side gets
+    its own hue so orientation is visually observable (useful for tests,
+    demos, and rotation-tracking sanity checks)."""
     s = size / 2.0
     corners = np.array(
         [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
@@ -356,7 +359,14 @@ def make_cube(size: float = 0.1, color=(0.8, 0.2, 0.2)) -> TriMesh:
         faces.append([base, base + 1, base + 2])
         faces.append([base, base + 2, base + 3])
     verts = np.array(verts, np.float32)
-    colors = np.tile(np.array(color, np.float32), (len(verts), 1))
+    if distinct_faces:
+        palette = np.array([
+            [0.85, 0.25, 0.2], [0.2, 0.7, 0.3], [0.25, 0.35, 0.85],
+            [0.9, 0.8, 0.2], [0.8, 0.3, 0.8], [0.25, 0.8, 0.8],
+        ], np.float32)
+        colors = np.repeat(palette, 4, axis=0)  # 4 verts per face
+    else:
+        colors = np.tile(np.array(color, np.float32), (len(verts), 1))
     return build_trimesh(verts, np.array(faces, np.int32), colors,
                          np.array(normals, np.float32))
 
