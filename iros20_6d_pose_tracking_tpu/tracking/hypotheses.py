@@ -61,7 +61,11 @@ def depth_agreement(
     sil = rendered & observed  # silhouette pixels with a valid observation
     occluded = sil & (depth_o < depth_r - tol_mm)
     denom_mask = sil & ~occluded
-    match = denom_mask & (jnp.abs(depth_r - depth_o) <= tol_mm)
+    # Soft agreement: 1 at zero depth error, linearly down to 0 at tol_mm.
+    # A binary <=tol match would score every pose within the tolerance
+    # identically (a 17 mm-wrong pose would tie a perfect one), which
+    # breaks hypothesis selection; the soft score stays discriminative.
+    w = jnp.clip(1.0 - jnp.abs(depth_r - depth_o) / tol_mm, 0.0, 1.0)
     # Occluded pixels are excused from the denominator, but only up to
     # 75% of the silhouette: if "occlusion" explains nearly everything,
     # the pose is simply wrong (e.g. too far -> observation uniformly
@@ -70,7 +74,7 @@ def depth_agreement(
         jnp.sum(denom_mask.astype(jnp.float32)),
         0.25 * jnp.sum(sil.astype(jnp.float32)),
     )
-    score = jnp.sum(match.astype(jnp.float32)) / jnp.maximum(denom, 1.0)
+    score = jnp.sum(jnp.where(denom_mask, w, 0.0)) / jnp.maximum(denom, 1.0)
     # No overlap at all -> zero confidence.
     any_overlap = jnp.sum(sil.astype(jnp.float32)) > 16.0
     return jnp.where(any_overlap, score, 0.0)

@@ -252,22 +252,43 @@ class Tracker:
         samples: int = 1,
     ) -> np.ndarray:
         """One tracking update; depth in metres (float) or millimetres
-        (uint16), auto-detected like the reference's mm convention."""
+        (uint16), auto-detected like the reference's mm convention.
+
+        ``samples > 1`` runs real multi-hypothesis tracking (the reference
+        scaffolds this parameter but evaluates only hypothesis 0,
+        reference predict.py:229-231): N perturbed priors are refined in
+        one batched program and the depth-agreement winner is kept; the
+        winner's health score lands in ``self.last_score``.
+        """
         depth = np.asarray(current_depth, np.float32)
         if depth.dtype != np.uint16 and depth.max() < 100.0:
             depth = depth * 1000.0  # metres -> mm
-        new_pose, aux = track_step(
-            self.model,
-            self.cfg,
-            self.variables,
-            self.mesh,
-            self.K,
-            self.mean,
-            self.std,
-            jnp.asarray(prev_pose, jnp.float32),
-            jnp.asarray(current_rgb, jnp.float32),
-            jnp.asarray(depth, jnp.float32),
-        )
+        if samples > 1:
+            from . import hypotheses as hy
+
+            new_pose, score, aux = hy.track_step_multi(
+                self.model, self.cfg, self.variables, self.mesh, self.K,
+                self.mean, self.std,
+                jnp.asarray(prev_pose, jnp.float32),
+                jnp.asarray(current_rgb, jnp.float32),
+                jnp.asarray(depth, jnp.float32),
+                jax.random.PRNGKey(self.frame_cnt),
+                samples=samples,
+            )
+            self.last_score = float(score)
+        else:
+            new_pose, aux = track_step(
+                self.model,
+                self.cfg,
+                self.variables,
+                self.mesh,
+                self.K,
+                self.mean,
+                self.std,
+                jnp.asarray(prev_pose, jnp.float32),
+                jnp.asarray(current_rgb, jnp.float32),
+                jnp.asarray(depth, jnp.float32),
+            )
         self.prev_rgb = current_rgb
         self.prev_depth = depth
         self.frame_cnt += 1

@@ -83,3 +83,24 @@ def test_reinit_policy():
     assert p.update(0.1)       # second consecutive bad frame
     assert not p.update(0.9)   # recovers
     assert p.bad_streak == 0
+
+
+def test_tracker_on_track_samples():
+    """Tracker.on_track(samples=N) runs the multi-hypothesis path and
+    records a health score."""
+    from iros20_6d_pose_tracking_tpu.tracking.tracker import Tracker
+
+    dataset_info = {
+        "camera": {"focalX": 300.0, "focalY": 300.0, "centerX": 32.0,
+                   "centerY": 32.0, "width": 64, "height": 64},
+        "resolution": RES, "boundingbox": 10,
+    }
+    tm = M.make_icosphere(subdiv=2, radius=0.05)
+    t = Tracker(dataset_info, np.zeros(8), np.full(8, 100.0), mesh=tm)
+    pose = np.eye(4)
+    pose[2, 3] = 0.5
+    rgb, depth = rz.render(t.mesh, jnp.asarray(pose, jnp.float32), K,
+                           rz.full_frame_window(64, 64), out_hw=(64, 64))
+    out = t.on_track(pose, np.asarray(rgb), np.asarray(depth), samples=4)
+    assert out.shape == (4, 4)
+    assert 0.0 <= t.last_score <= 1.0
