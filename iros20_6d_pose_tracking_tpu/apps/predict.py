@@ -120,7 +120,12 @@ def predict_sequence_ycb(args, dataset_info, mean, std):
     assert rgb_files and depth_files and gt_poses, seq_dir
 
     tracker = _make_tracker(dataset_info, mean, std, args)
-    init_pose = gt_poses[0].copy()
+    if args.init == "posecnn":
+        init_pose = _posecnn_pose(args, args.seq_id, 1)
+    elif args.init == "poserbpf":
+        init_pose = _poserbpf_pose(args, args.class_id, args.seq_id)
+    else:
+        init_pose = gt_poses[0].copy()
 
     reinit = None
     if args.reinit_frames:
@@ -192,6 +197,36 @@ def get_results_ycb(args, dataset_info, mean, std):
     return results
 
 
+def _poserbpf_pose(args, class_id, seq_id):
+    """Initial pose from PoseRBPF result files (reference
+    predict.py:499-515): <ycb_dir>/YCB_Video_toolbox/PoseRBPF_Results/
+    YCB_results_RGBD/<class_folder>/seq_<n>/Pose*.txt with one line
+    '<i> <j> x y z qw qx qy qz'."""
+    import glob as _glob
+
+    from ..ops.pointcloud import find_class_contained_videos_ycb
+
+    seqs = sorted(find_class_contained_videos_ycb(args.ycb_dir, class_id))
+    res_dir = os.path.join(args.ycb_dir, "YCB_Video_toolbox",
+                           "PoseRBPF_Results", "YCB_results_RGBD")
+    folders = sorted(os.listdir(res_dir))
+    cur = os.path.join(res_dir, folders[class_id - 1],
+                       f"seq_{seqs.index(seq_id) + 1}")
+    pose_file = _glob.glob(os.path.join(cur, "Pose*.txt"))[0]
+    with open(pose_file) as f:
+        vals = f.readline().split()[2:]
+    x, y, z, qw, qx, qy, qz = map(float, vals[:7])
+    R = np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+    ])
+    pose = np.eye(4)
+    pose[:3, :3] = R
+    pose[:3, 3] = [x, y, z]
+    return pose
+
+
 def _posecnn_pose(args, seq_id, frame_id):
     """PoseCNN re-init pose from the YCB_Video_toolbox results
     (reference use_posecnn_res, predict.py:89-123)."""
@@ -242,6 +277,9 @@ def build_parser():
     parser.add_argument("--mean_std_path", type=str)
     parser.add_argument("--outdir", type=str, required=True)
     parser.add_argument("--reinit_frames", type=str, default=None)
+    parser.add_argument("--init", default="gt",
+                        choices=["gt", "posecnn", "poserbpf"],
+                        help="initial-pose source (reference predict.py:477-515)")
     parser.add_argument("--track_mode", default="scan",
                         choices=["scan", "stream"])
     parser.add_argument("--viz_dir", type=str, default=None,

@@ -87,3 +87,53 @@ def test_decimate_counts_and_shape():
     _, d = rz.render(mesh, pose, K, rz.full_frame_window(128, 128),
                      out_hw=(128, 128))
     assert float(np.asarray(d).max()) > 0
+
+
+def test_binary_ply_roundtrip(tmp_path):
+    """Exercise the binary_little_endian PLY parser with a hand-written
+    file (verts + colors + normals + faces)."""
+    import struct
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    normals = np.tile(np.array([0, 0, 1], np.float32), (4, 1))
+    colors = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+                      np.uint8)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    path = tmp_path / "bin.ply"
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex 4\n")
+        for p in ("x", "y", "z", "nx", "ny", "nz"):
+            f.write(f"property float {p}\n".encode())
+        for c in ("red", "green", "blue"):
+            f.write(f"property uchar {c}\n".encode())
+        f.write(b"element face 2\n")
+        f.write(b"property list uchar int vertex_indices\n")
+        f.write(b"end_header\n")
+        for i in range(4):
+            f.write(struct.pack("<6f", *verts[i], *normals[i]))
+            f.write(struct.pack("<3B", *colors[i]))
+        for fc in faces:
+            f.write(struct.pack("<B3i", 3, *fc))
+
+    d = M.load_ply(str(path))
+    np.testing.assert_allclose(d["verts"], verts, atol=1e-6)
+    np.testing.assert_allclose(d["colors"], colors / 255.0, atol=1e-6)
+    np.testing.assert_array_equal(d["faces"], faces)
+    tm = M.load_mesh(str(path))
+    assert tm.num_faces == 2
+
+
+def test_ascii_ply_quad_triangulation(tmp_path):
+    """ASCII PLY with a quad face fan-triangulates to 2 triangles."""
+    path = tmp_path / "quad.ply"
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write("element vertex 4\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("element face 1\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        f.write("0 0 0\n1 0 0\n1 1 0\n0 1 0\n")
+        f.write("4 0 1 2 3\n")
+    d = M.load_ply(str(path))
+    assert d["faces"].shape == (2, 3)
