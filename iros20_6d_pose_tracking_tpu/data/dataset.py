@@ -18,6 +18,7 @@ Label encoding happens on device in the trainer via
 """
 from __future__ import annotations
 
+import functools
 import glob
 import os
 from dataclasses import dataclass
@@ -176,9 +177,6 @@ class SyntheticPairs:
             self.max_rot_deg,
             tuple(map(tuple, self.xyz_range)),
         )
-
-
-import functools
 
 
 @functools.partial(

@@ -104,8 +104,6 @@ def track_step_multi(
 
     Returns (pose, score, aux) where score is the winner's health.
     """
-    keys = jax.random.split(key, samples - 1) if samples > 1 else None
-    poses = [prev_pose]
     if samples > 1:
         perturb = se3.random_gaussian_magnitude(
             key, perturb_trans, perturb_rot_deg, (samples - 1,)
