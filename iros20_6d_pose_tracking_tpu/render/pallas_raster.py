@@ -228,3 +228,152 @@ def pallas_pass1(coef, block_bbox, hw: tuple[int, int],
     iz = iz[:P, 0].reshape(H, W)
     idx = idx[:P, 0].reshape(H, W)
     return iz, idx
+
+
+# ---------------------------------------------------------------------------
+# Work-list (compacted binning) variant: compute ONLY intersecting
+# (pixel-tile, face-block) pairs.
+# ---------------------------------------------------------------------------
+
+def build_worklist(block_bbox, hw, pix_tile, width):
+    """Tile-major compacted list of intersecting (tile, block) pairs.
+
+    Returns (tile_ids, block_ids, init_flags, valid_flags), each (W,)
+    int32 with W = n_tiles * n_blocks (static). Real entries come first
+    in tile-major order (stable sort), padding entries repeat the last
+    real tile with valid=0 so the kernel's output block stays resident
+    and untouched.
+    """
+    H, W_img = hw
+    P = H * W_img
+    n_tiles = -(-P // pix_tile)
+    nb = block_bbox.shape[0]
+    tile_first = jnp.arange(n_tiles) * pix_tile
+    y0 = (tile_first // width).astype(jnp.float32)       # (T,)
+    y1 = ((tile_first + pix_tile - 1) // width).astype(jnp.float32)
+    xmin, xmax = block_bbox[:, 0], block_bbox[:, 1]      # (B,)
+    ymin, ymax = block_bbox[:, 2], block_bbox[:, 3]
+    hit = (
+        (xmax[None, :] >= 0.0)
+        & (xmin[None, :] <= width - 1.0)
+        & (ymax[None, :] >= y0[:, None])
+        & (ymin[None, :] <= y1[:, None])
+    )  # (T, B)
+    flat_hit = hit.reshape(-1)
+    order = jnp.argsort(jnp.where(flat_hit, 0, 1), stable=True)
+    sorted_hit = flat_hit[order]
+    tiles = (order // nb).astype(jnp.int32)
+    blocks = (order % nb).astype(jnp.int32)
+    n_real = jnp.sum(flat_hit.astype(jnp.int32))
+    last_real_tile = tiles[jnp.maximum(n_real - 1, 0)]
+    tiles = jnp.where(sorted_hit, tiles, last_real_tile)
+    blocks = jnp.where(sorted_hit, blocks, 0)
+    idx = jnp.arange(tiles.shape[0])
+    first = sorted_hit & ((idx == 0) | (tiles != jnp.roll(tiles, 1)))
+    # Tiles with NO hits never appear: their outputs must still be
+    # initialized. Handled by the caller pre-zeroing the output arrays.
+    return (tiles, blocks, first.astype(jnp.int32),
+            sorted_hit.astype(jnp.int32))
+
+
+def _wl_kernel(tile_ids, block_ids, init_flags, valid_flags,
+               coef_ref, iz_in, idx_in, iz_ref, idx_ref, *,
+               pix_tile, face_block, width):
+    k = pl.program_id(0)
+    tile = tile_ids[k]
+    blk = block_ids[k]
+
+    @pl.when(init_flags[k] == 1)
+    def _():
+        iz_ref[:] = jnp.full_like(iz_ref, -1.0)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    @pl.when(valid_flags[k] == 1)
+    def _():
+        first_q = tile * pix_tile
+        q = first_q + jax.lax.broadcasted_iota(jnp.int32, (pix_tile, 1), 0)
+        px = (q % width).astype(jnp.float32)
+        py = (q // width).astype(jnp.float32)
+        s = blk * face_block
+
+        def form(row):
+            a = coef_ref[row, pl.ds(s, face_block)].reshape(1, face_block)
+            b = coef_ref[row + 1, pl.ds(s, face_block)].reshape(1, face_block)
+            c = coef_ref[row + 2, pl.ds(s, face_block)].reshape(1, face_block)
+            return px * a + py * b + c
+
+        e0 = form(ROW_A0)
+        e1 = form(ROW_A1)
+        e2 = form(ROW_A2)
+        izp = form(ROW_AW)
+        covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+        zc = jnp.where(covered & (izp > 0.0), izp, -1.0)
+        best = jnp.max(zc, axis=1, keepdims=True)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (pix_tile, face_block), 1)
+        arg = jnp.min(jnp.where(zc >= best, lanes, face_block), axis=1,
+                      keepdims=True)
+        better = best > iz_ref[:]
+        iz_ref[:] = jnp.where(better, best, iz_ref[:])
+        idx_ref[:] = jnp.where(better, arg + blk * face_block, idx_ref[:])
+
+
+def pallas_pass1_worklist(coef, block_bbox, hw: tuple[int, int],
+                          pix_tile: int = DEF_PIX_TILE,
+                          face_block: int = 256,
+                          interpret: bool = False):
+    """Binned pass 1: grid over a compacted tile-major work list of
+    intersecting (pixel-tile, face-block) pairs. Compute scales with the
+    number of intersections instead of tiles x blocks; pairs that cannot
+    interact cost one predicated-off grid step.
+
+    Semantically identical to :func:`pallas_pass1`.
+    """
+    H, W = hw
+    P = H * W
+    n_tiles = -(-P // pix_tile)
+    P_pad = n_tiles * pix_tile
+    F = coef.shape[1]
+    assert F % face_block == 0
+    n_blocks = F // face_block
+    assert block_bbox.shape[0] == n_blocks
+
+    tiles, blocks, first, valid = build_worklist(
+        block_bbox, hw, pix_tile, W
+    )
+    max_work = int(tiles.shape[0])
+
+    kernel = functools.partial(
+        _wl_kernel, pix_tile=pix_tile, face_block=face_block, width=W,
+    )
+    # Pre-zeroed outputs double as accumulators via input_output_aliases,
+    # covering tiles that never appear in the work list.
+    iz0 = jnp.full((P_pad, 1), -1.0, jnp.float32)
+    idx0 = jnp.zeros((P_pad, 1), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(max_work,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # coef
+            pl.BlockSpec((pix_tile, 1), lambda k, t, b, f, v: (t[k], 0),
+                         memory_space=pltpu.VMEM),   # iz_in (aliased)
+            pl.BlockSpec((pix_tile, 1), lambda k, t, b, f, v: (t[k], 0),
+                         memory_space=pltpu.VMEM),   # idx_in (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec((pix_tile, 1), lambda k, t, b, f, v: (t[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pix_tile, 1), lambda k, t, b, f, v: (t[k], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    iz, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P_pad, 1), jnp.int32),
+        ],
+        input_output_aliases={5: 0, 6: 1},  # (4 scalars + coef) offsets
+        interpret=interpret,
+    )(tiles, blocks, first, valid, coef, iz0, idx0)
+    return iz[:P, 0].reshape(H, W), idx[:P, 0].reshape(H, W)

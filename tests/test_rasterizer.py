@@ -170,3 +170,22 @@ def test_pallas_pass1_cube_roi():
                                     impl="pallas_interpret")
     np.testing.assert_allclose(np.array(d2), np.array(d1), atol=0.3)
     np.testing.assert_allclose(np.array(rgb2), np.array(rgb1), atol=2.0)
+
+
+def test_worklist_kernel_matches_default():
+    """The compacted work-list pass-1 variant is semantically identical."""
+    from iros20_6d_pose_tracking_tpu.render import pallas_raster as pr
+
+    sph = Rz.upload(M.make_icosphere(subdiv=3, radius=0.04))
+    pose = _pose([0.03, 0.02, 0.55], (0.4, -0.2, 0.3))
+    win = (150.0, 450.0, 100.0, 400.0)
+    fx, fy, fiz, fvalid, R, t = Rz._project(sph, pose, jnp.array(K), win,
+                                            (128, 128), 0.1)
+    coef, _ = pr.build_face_coefficients(fx, fy, fiz, fvalid)
+    bbox = pr.build_block_bboxes(fx, fy, fvalid, 256)
+    iz1, id1 = pr.pallas_pass1(coef, bbox, (128, 128), face_block=256,
+                               interpret=True)
+    iz2, id2 = pr.pallas_pass1_worklist(coef, bbox, (128, 128),
+                                        face_block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(iz2), np.asarray(iz1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(id2), np.asarray(id1))
