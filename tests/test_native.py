@@ -100,3 +100,37 @@ def test_pair_dataset_uses_native(tmp_path, loader):
     rec = ds[0]
     assert rec.rgbA.shape == (48, 48, 3)
     assert rec.depthA.max() >= 300
+
+
+def test_pair_dataset_native_batch_path(tmp_path, loader):
+    """batches() takes the whole-batch native decode path and matches the
+    per-record fallback exactly."""
+    from PIL import Image
+
+    from iros20_6d_pose_tracking_tpu.data.dataset import PairDataset
+
+    rng = np.random.RandomState(9)
+    res = 48
+    for i in range(4):
+        for suffix in ("rgbA", "rgbB"):
+            Image.fromarray(
+                rng.randint(0, 255, (res, res, 3), dtype=np.uint8)
+            ).save(tmp_path / f"{i:07d}{suffix}.png")
+        for suffix in ("depthA", "depthB"):
+            Image.fromarray(
+                rng.randint(300, 1500, (res, res)).astype(np.uint16)
+            ).save(tmp_path / f"{i:07d}{suffix}.png")
+        Image.fromarray(np.ones((res, res), np.uint8)).save(
+            tmp_path / f"{i:07d}segB.png")
+        pose = np.eye(4)
+        pose[2, 3] = 0.6
+        np.savez(tmp_path / f"{i:07d}meta.npz", A_in_cam=pose, B_in_cam=pose)
+
+    ds = PairDataset(str(tmp_path), resolution=res)
+    assert ds._native is not None
+    fast = next(ds.batches(4, shuffle=False))
+    # Force the fallback path for comparison.
+    ds._native = None
+    slow = next(ds.batches(4, shuffle=False))
+    for k in fast:
+        np.testing.assert_allclose(fast[k], slow[k], err_msg=k)
