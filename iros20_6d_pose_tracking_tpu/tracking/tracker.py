@@ -182,6 +182,7 @@ class Tracker:
         mesh: TriMesh | None = None,
         variables=None,
         dtype=jnp.float32,
+        max_faces: int | None = None,
     ):
         from ..render import mesh as mesh_mod
 
@@ -201,8 +202,19 @@ class Tracker:
             if model_path is None:
                 raise ValueError("need model_path or a prebuilt mesh")
             mesh = mesh_mod.load_mesh(model_path)
+        if max_faces is not None and mesh.num_faces > max_faces:
+            # Rasterization cost is linear in face count; production CAD
+            # scans usually carry far more triangles than a 176x176 ROI
+            # resolves. Width/ADD points still come from the FULL mesh.
+            v, f, c = mesh_mod.decimate(
+                mesh.verts, mesh.faces[: mesh.num_faces], mesh.colors,
+                max_faces,
+            )
+            render_mesh = mesh_mod.build_trimesh(v, f, c)
+        else:
+            render_mesh = mesh
         self.trimesh = mesh
-        self.mesh = rz.upload(mesh)
+        self.mesh = rz.upload(render_mesh)
 
         # object width: cloud diameter (voxel-downsampled 5mm) + bbox% pad,
         # reference predict.py:131-142.
