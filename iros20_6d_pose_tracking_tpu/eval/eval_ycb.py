@@ -49,8 +49,11 @@ def eval_one_class(res_dir: str, ycb_dir: str, class_id: int,
     for pose_file in pose_files:
         rel = os.path.relpath(pose_file, res_dir)
         seq_part = rel.split(os.sep)[0].replace("seq", "")
+        stem = os.path.basename(pose_file).split(".")[0]
+        if not (seq_part.isdigit() and stem.isdigit()):
+            continue  # e.g. the %05dgt.txt ground-truth copies predict writes
         seq_id = int(seq_part)
-        frame_id = int(os.path.basename(pose_file).split(".")[0]) + 1
+        frame_id = int(stem) + 1
         if f"{seq_id:04d}/{frame_id:06d}" not in keyframes:
             continue
         gt_file = os.path.join(

@@ -100,6 +100,7 @@ def test_eval_ycb_protocol(tmp_path):
         pred = gt.copy()
         pred[:3, 3] += rng.randn(3) * 0.002
         _write_pose(str(res / f"{i:06d}.txt"), pred)
+        _write_pose(str(res / f"{i:06d}gt.txt"), gt)  # predict.py writes these too
         if i % 2 == 0:  # only even frames are keyframes
             keyframes.append(f"0048/{frame:06d}")
         gts.append(gt)
