@@ -145,3 +145,34 @@ class ReinitPolicy:
         else:
             self.bad_streak = 0
         return self.bad_streak >= self.patience
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def track_video_with_health(
+    model,
+    cfg: trk.TrackerConfig,
+    variables,
+    mesh: rz.MeshArrays,
+    K: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    init_pose: jax.Array,
+    frames_rgb: jax.Array,
+    frames_depth_mm: jax.Array,
+):
+    """track_video plus a per-frame depth-agreement health score —
+    production telemetry for automatic drift detection (apply
+    :class:`ReinitPolicy` to the scores host-side)."""
+
+    def step(pose, frame):
+        rgb, depth = frame
+        new_pose, _ = trk.track_step(
+            model, cfg, variables, mesh, K, mean, std, pose, rgb, depth
+        )
+        score = depth_agreement(mesh, new_pose, K, depth, cfg)
+        return new_pose, (new_pose, score)
+
+    _, (poses, scores) = jax.lax.scan(
+        step, init_pose, (frames_rgb, frames_depth_mm)
+    )
+    return poses, scores

@@ -104,3 +104,24 @@ def test_tracker_on_track_samples():
     out = t.on_track(pose, np.asarray(rgb), np.asarray(depth), samples=4)
     assert out.shape == (4, 4)
     assert 0.0 <= t.last_score <= 1.0
+
+
+def test_track_video_with_health():
+    mesh = rz.upload(M.make_cube(0.08))
+    cfg = trk.TrackerConfig(resolution=RES, object_width_mm=155.0)
+    model = tracknet.Se3TrackNet(image_size=RES)
+    variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
+    p = variables["params"]
+    for h in ("trans_out", "rot_out"):
+        p[h]["kernel"] = jnp.zeros_like(p[h]["kernel"])
+        p[h]["bias"] = jnp.zeros_like(p[h]["bias"])
+    variables = {"params": p, "batch_stats": variables["batch_stats"]}
+    pose = jnp.eye(4).at[2, 3].set(0.5)
+    rgb, depth = rz.render(mesh, pose, K, rz.full_frame_window(64, 64),
+                           out_hw=(64, 64))
+    poses, scores = hy.track_video_with_health(
+        model, cfg, variables, mesh, K, jnp.zeros(8), jnp.full(8, 100.0),
+        pose, jnp.stack([rgb] * 3), jnp.stack([depth] * 3),
+    )
+    assert poses.shape == (3, 4, 4) and scores.shape == (3,)
+    assert float(np.array(scores).min()) > 0.9  # perfect hold -> healthy
