@@ -198,6 +198,13 @@ def pallas_pass1(coef, block_bbox, hw: tuple[int, int],
     assert block_bbox.shape[0] == n_blocks, (
         f"block_bbox has {block_bbox.shape[0]} rows, kernel needs {n_blocks}"
     )
+    # The (12, F) coefficient matrix stays VMEM-resident (~16 MB/core):
+    # beyond ~200k faces, decimate the mesh (render/mesh.py::decimate) —
+    # a 176x176 ROI cannot resolve that much geometry anyway.
+    assert F * 12 * 4 <= 12 * 1024 * 1024, (
+        f"{F} faces exceed the VMEM-resident budget; "
+        "decimate the mesh (render/mesh.py::decimate)"
+    )
 
     kernel = functools.partial(
         _kernel,

@@ -277,7 +277,7 @@ class Trainer:
 
     def train_epoch(self, batches, log_every: int = 100,
                     log_fn: Callable = print) -> float:
-        last = np.nan
+        metrics = None
         for raw in batches:
             self.key, sub = jax.random.split(self.key)
             self.state, metrics = train_step(
@@ -286,13 +286,13 @@ class Trainer:
             )
             step = int(self.state.step)
             if step % log_every == 0:
-                last = float(metrics["loss"])
                 log_fn(
                     f"epoch={int(self.state.epoch)} step={step} "
-                    f"loss={last:.6f} trans={float(metrics['trans']):.6f} "
+                    f"loss={float(metrics['loss']):.6f} "
+                    f"trans={float(metrics['trans']):.6f} "
                     f"rot={float(metrics['rot']):.6f}"
                 )
-        return float(metrics["loss"])
+        return float(metrics["loss"]) if metrics is not None else float("nan")
 
     def validate(self, batches) -> float:
         losses = [
