@@ -1,0 +1,21 @@
+# Common targets for iros20_6d_pose_tracking_tpu.
+.PHONY: test test-fast bench demo native clean
+
+test:            ## full hermetic suite (CPU, virtual 8-device mesh)
+	python -m pytest tests/ -x -q
+
+test-fast:       ## skip the slow integration tests
+	python -m pytest tests/ -x -q -m "not slow"
+
+bench:           ## single-chip tracking benchmark (one JSON line on stdout)
+	python bench.py
+
+demo:            ## end-to-end train + track on synthetic data
+	python examples/demo_train_and_track.py
+
+native:          ## build the C++ data-loading runtime
+	python -c "from iros20_6d_pose_tracking_tpu.native.dataload import build; print(build())"
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; \
+	rm -f iros20_6d_pose_tracking_tpu/native/libdataload.so
