@@ -303,9 +303,11 @@ class Trainer:
         return float(np.mean(losses)) if losses else np.inf
 
     def loop(self, epochs: int, train_batches, val_batches,
-             log_fn: Callable = print):
+             log_fn: Callable = print, save_all_checkpoints: bool = False):
         """Full training loop with best-train/best-val checkpointing
-        (reference problems.py:135-153 artifact protocol)."""
+        (reference problems.py:135-153 artifact protocol);
+        ``save_all_checkpoints`` additionally keeps a per-epoch snapshot
+        (reference train.py:164)."""
         start = int(self.state.epoch)
         for epoch in range(start, epochs):
             t0 = time.time()
@@ -323,6 +325,8 @@ class Trainer:
                 self.best_val = val_loss
                 self.save("model_best_val.msgpack", meta)
             self.save("checkpoint_last.msgpack", meta)
+            if save_all_checkpoints:
+                self.save(f"checkpoint_epoch{epoch:04d}.msgpack", meta)
             log_fn(
                 f">>> epoch {epoch}: train={train_loss:.6f} "
                 f"val={val_loss:.6f} ({meta['secs']:.1f}s)"
