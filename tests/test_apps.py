@@ -1,4 +1,5 @@
 """End-to-end CLI drives: predict, train --synthetic, datagen."""
+import argparse
 import os
 import numpy as np
 import pytest
@@ -163,3 +164,45 @@ def test_datagen_cli_dr(fixture_root, tmp_path):
 
     assert len(PairDataset(str(out / "train_data_blender_DR"), RES)) == 3
     assert len(PairDataset(str(out / "validation_data_blender_DR"), RES)) == 1
+
+
+def test_posecnn_init_pose(fixture_root, tmp_path):
+    """--init posecnn reads the YCB_Video_toolbox PoseCNN .mat results."""
+    import scipy.io
+
+    from iros20_6d_pose_tracking_tpu.apps import predict
+
+    ycb = fixture_root
+    (ycb / "image_sets").mkdir(exist_ok=True)
+    with open(ycb / "image_sets" / "keyframe.txt", "w") as f:
+        f.write("0048/000001\n0048/000003\n")
+    resdir = ycb / "YCB_Video_toolbox" / "results_PoseCNN_RSS2018"
+    resdir.mkdir(parents=True, exist_ok=True)
+    # index 0 corresponds to keyframe '0048/000001'
+    quat_wxyz = np.array([1.0, 0.0, 0.0, 0.0])
+    scipy.io.savemat(resdir / "000000.mat", {
+        "rois": np.array([[0, 4.0, 0, 0, 0, 0, 0]]),
+        "poses_icp": np.array([[*quat_wxyz, 0.01, -0.02, 0.6]]),
+    })
+    args = argparse.Namespace(ycb_dir=str(ycb), class_id=4)
+    pose = predict._posecnn_pose(args, 48, 1)
+    np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(pose[:3, 3], [0.01, -0.02, 0.6])
+
+
+def test_poserbpf_init_pose(fixture_root):
+    from iros20_6d_pose_tracking_tpu.apps import predict
+
+    ycb = fixture_root
+    # data_organized-style discovery root: fixture root has 0048/pose_gt/4
+    rb = (ycb / "YCB_Video_toolbox" / "PoseRBPF_Results" / "YCB_results_RGBD")
+    for c in range(1, 5):  # 4 class folders; ours is index class_id-1 = 3
+        (rb / f"{c:03d}_class").mkdir(parents=True, exist_ok=True)
+    seq_dir = rb / "004_class" / "seq_1"
+    seq_dir.mkdir(parents=True, exist_ok=True)
+    with open(seq_dir / "Pose_0.txt", "w") as f:
+        f.write("0 0 0.05 -0.03 0.7 1 0 0 0\n")
+    args = argparse.Namespace(ycb_dir=str(ycb), class_id=4)
+    pose = predict._poserbpf_pose(args, 4, 48)
+    np.testing.assert_allclose(pose[:3, 3], [0.05, -0.03, 0.7])
+    np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=1e-9)
