@@ -11,13 +11,22 @@ Modes:
   --mode ycbv_all   all test sequences containing --class_id (reference
                     getResultsYcb, predict.py:299-443)
 
-Two execution paths:
-  --track_mode scan    preload the video and run the fused ``lax.scan``
-                       tracker (TPU throughput path; no host round trips)
-  --track_mode stream  per-frame ``Tracker.on_track`` (parity with the
-                       reference's frame loop; supports --reinit_frames)
+Three execution paths:
+  --track_mode scan     chunked ``lax.scan`` tracking: fixed-size uint8
+                        chunks stream through the fused scan with the pose
+                        carried on device (bounded memory for arbitrarily
+                        long videos; supports --reinit_frames by segmenting
+                        at the re-init points). TPU throughput path.
+  --track_mode stream   pipelined per-frame StreamTracker (windowed uint8
+                        upload, device-resident pose) — the live/deployment
+                        path; supports --reinit_frames.
+  --track_mode ontrack  per-frame ``Tracker.on_track`` with a blocking
+                        pose fetch every frame (strict parity with the
+                        reference's frame loop, reference predict.py:529-564).
 
-Outputs per-frame 4x4 pose txts in the layouts the eval drivers consume.
+Outputs per-frame 4x4 pose txts in the layouts the eval drivers consume;
+optional mp4 + projected-point overlays + render|crop canvases
+(reference predict.py:403,424-433,284-291).
 """
 from __future__ import annotations
 
@@ -27,6 +36,21 @@ import os
 
 import numpy as np
 
+_NATIVE_LOADER = None
+
+
+def _native_loader():
+    """Build/load the C++ libpng batch decoder once; None if unavailable."""
+    global _NATIVE_LOADER
+    if _NATIVE_LOADER is None:
+        try:
+            from ..native.dataload import NativeLoader
+
+            _NATIVE_LOADER = NativeLoader()
+        except Exception:
+            _NATIVE_LOADER = False
+    return _NATIVE_LOADER or None
+
 
 def _load_rgb(path):
     from PIL import Image
@@ -35,10 +59,32 @@ def _load_rgb(path):
 
 
 def _load_depth(path):
+    """Depth PNG in native dtype (uint16 mm) — stays uint16 across the
+    host->device boundary (6x less transfer than float32)."""
     from PIL import Image
 
-    d = np.array(Image.open(path))
-    return d.astype(np.float32)
+    return np.array(Image.open(path))
+
+
+def _batch_src(files, kind):
+    """callable(a, b) -> stacked frames files[a:b]; native thread-pool
+    decode when libdataload builds, PIL otherwise."""
+
+    def load(a, b):
+        nl = _native_loader()
+        chunk = files[a:b]
+        if nl is not None:
+            try:
+                dtype = np.uint8 if kind == "rgb" else np.uint16
+                out = nl.read_png_batch(chunk, dtype=dtype)
+                return out[..., :3] if kind == "rgb" else out
+            except Exception:
+                pass
+        if kind == "rgb":
+            return np.stack([_load_rgb(f) for f in chunk])
+        return np.stack([_load_depth(f) for f in chunk])
+
+    return load
 
 
 def _make_tracker(dataset_info, mean, std, args, trans_normalizer=0.03,
@@ -59,51 +105,127 @@ def _make_tracker(dataset_info, mean, std, args, trans_normalizer=0.03,
     )
 
 
-def _viz_overlay(rgb, pose, K, cloud, frame_idx, out_path):
-    """Projected-point overlay (reference predict.py:549-559), saved to
-    disk instead of imshow (headless)."""
-    import cv2
-
-    pts = cloud @ pose[:3, :3].T + pose[:3, 3]
-    us = np.round(pts[:, 0] * K[0, 0] / pts[:, 2] + K[0, 2]).astype(int)
-    vs = np.round(pts[:, 1] * K[1, 1] / pts[:, 2] + K[1, 2]).astype(int)
-    bgr = cv2.cvtColor(rgb.astype(np.uint8), cv2.COLOR_RGB2BGR)
-    H, W = bgr.shape[:2]
-    keep = (us >= 0) & (us < W) & (vs >= 0) & (vs < H)
-    bgr[vs[keep], us[keep]] = (0, 255, 255)
-    cv2.putText(bgr, f"frame:{frame_idx}", (W // 2, H - 50),
-                cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 0, 0), 4)
-    cv2.imwrite(out_path, bgr)
-
-
 def _track_files(tracker, rgb_files, depth_files, init_pose, args,
                  start=0, reinit=None):
-    """Track a file sequence; returns (N, 4, 4) poses including the init."""
-    if args.track_mode == "scan" and not reinit:
-        rgbs = np.stack([_load_rgb(f) for f in rgb_files[start + 1:]])
-        depths = np.stack([_load_depth(f) for f in depth_files[start + 1:]])
-        poses = tracker.track_video(init_pose, rgbs.astype(np.float32),
-                                    depths)
-        return np.concatenate([init_pose[None], poses], axis=0)
+    """Track a file sequence; returns (N, 4, 4) poses including the init.
+
+    scan: chunked streaming scan, segmented at re-init frames (each
+    segment restarts the device-carried pose from the PoseCNN result —
+    reference predict.py:539-541). stream: pipelined StreamTracker.
+    ontrack: reference-parity blocking frame loop.
+    """
+    n = len(rgb_files)
+    reinit = {i: p for i, p in (reinit or {}).items()
+              if p is not None and start + 1 <= i < n}
+    init_pose = np.asarray(init_pose, np.float64)
+
+    if args.track_mode == "scan":
+        chunk = getattr(args, "chunk_size", 64)
+        bounds = sorted(set([start + 1] + list(reinit)))
+        poses = [init_pose]
+        cur = init_pose
+        for k, a in enumerate(bounds):
+            b = bounds[k + 1] if k + 1 < len(bounds) else n
+            if a in reinit:
+                cur = np.asarray(reinit[a])
+                print("Reinitialized at", a)
+            if a >= b:
+                continue
+            seg = tracker.track_video_chunked(
+                cur, _batch_src(rgb_files[a:b], "rgb"),
+                _batch_src(depth_files[a:b], "depth"),
+                chunk_size=min(chunk, b - a), n_frames=b - a,
+            )
+            poses.extend(list(seg))
+            cur = seg[-1]
+        return np.stack(poses)
+
+    if args.track_mode == "stream":
+        from ..tracking.stream import StreamTracker
+
+        s = StreamTracker(tracker, window=not getattr(args, "no_window", False))
+        s.begin(init_pose)
+        for i in range(start + 1, n):
+            if i % 100 == 0:
+                print(">>>>", i, flush=True)
+            if i in reinit:
+                s.set_pose(reinit[i])
+                print("Reinitialized at", i)
+            s.push(_load_rgb(rgb_files[i]),
+                   _load_depth(depth_files[i]).astype(np.uint16))
+        return np.concatenate([init_pose[None], s.poses()], axis=0)
 
     poses = [init_pose]
     prev = init_pose.copy()
-    for i in range(start + 1, len(rgb_files)):
+    for i in range(start + 1, n):
         if i % 100 == 0:
             print(">>>>", i, flush=True)
-        if reinit and reinit.get(i) is not None:
+        if i in reinit:
             prev = reinit[i]
             print("Reinitialized at", i)
-        rgb = _load_rgb(rgb_files[i])
-        depth = _load_depth(depth_files[i])
-        prev = tracker.on_track(prev, rgb.astype(np.float32), depth)
+        prev = tracker.on_track(prev, _load_rgb(rgb_files[i]),
+                                _load_depth(depth_files[i]))
         poses.append(prev.copy())
-        if args.viz_dir:
-            os.makedirs(args.viz_dir, exist_ok=True)
-            _viz_overlay(rgb, prev, np.asarray(tracker.K),
-                         getattr(tracker, "object_cloud", tracker.trimesh.verts),
-                         i, os.path.join(args.viz_dir, f"{i:07d}.png"))
     return np.stack(poses)
+
+
+def _write_visuals(tracker, rgb_files, depth_files, poses, args, start=0):
+    """Post-tracking visual outputs (one pass over the frames):
+
+      --viz_dir     per-frame projected-point overlay PNGs
+                    (reference predict.py:549-559)
+      --save_video  <outdir>/video.mp4 of the overlays
+                    (reference predict.py:403,441-443)
+      --canvas_dir  render|crop side-by-side ROI canvases at the estimate
+                    (reference predict.py:284-291 makeCanvas/imshow)
+    """
+    if not (args.viz_dir or args.save_video or args.canvas_dir):
+        return
+    import jax.numpy as jnp
+
+    from ..tracking.tracker import roi_views
+    from ..utils.viz import VideoWriter, draw_projected_points, make_canvas
+
+    cloud = getattr(tracker, "object_cloud", tracker.trimesh.verts)
+    K = np.asarray(tracker.K)
+    writer = None
+    if args.save_video:
+        os.makedirs(args.outdir, exist_ok=True)
+        writer = VideoWriter(os.path.join(args.outdir, "video.mp4"))
+    if args.viz_dir:
+        os.makedirs(args.viz_dir, exist_ok=True)
+    if args.canvas_dir:
+        os.makedirs(args.canvas_dir, exist_ok=True)
+
+    for i in range(start + 1, len(rgb_files)):
+        pose = poses[i - start]
+        rgb = None
+        if args.viz_dir or args.save_video:
+            import cv2
+
+            rgb = _load_rgb(rgb_files[i])
+            bgr = draw_projected_points(rgb, pose, K, cloud)
+            cv2.putText(bgr, f"frame:{i}", (bgr.shape[1] // 2,
+                                            bgr.shape[0] - 50),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 0, 0), 4)
+            if args.viz_dir:
+                cv2.imwrite(os.path.join(args.viz_dir, f"{i:07d}.png"), bgr)
+            if writer is not None:
+                writer.write(bgr)
+        if args.canvas_dir:
+            import cv2
+
+            rgb = _load_rgb(rgb_files[i]) if rgb is None else rgb
+            depth = _load_depth(depth_files[i])
+            rgbA, _, rgbB, _ = roi_views(
+                tracker.cfg, tracker.mesh, tracker.K,
+                jnp.asarray(pose, jnp.float32), jnp.asarray(rgb),
+                jnp.asarray(depth),
+            )
+            canvas = make_canvas([np.asarray(rgbA), np.asarray(rgbB)])
+            cv2.imwrite(os.path.join(args.canvas_dir, f"{i:07d}.png"), canvas)
+    if writer is not None:
+        writer.close()
 
 
 def predict_sequence_ycb(args, dataset_info, mean, std):
@@ -135,6 +257,7 @@ def predict_sequence_ycb(args, dataset_info, mean, std):
 
     pred_poses = _track_files(tracker, rgb_files, depth_files, init_pose,
                               args, reinit=reinit)
+    _write_visuals(tracker, rgb_files, depth_files, pred_poses, args)
 
     os.makedirs(args.outdir, exist_ok=True)
     from ..eval.metrics import adi_err, vocap
@@ -170,8 +293,11 @@ def predict_sequence_ycbineoat(args, dataset_info, mean, std):
     # The reference tracks from frame 0 re-estimating frame i from i-1 and
     # saves a pose per frame (predict.py:603-611): frame 0's saved pose is
     # the update of the init on frame 0 itself.
-    pred = _track_files(tracker, ["_init"] + rgb_files,
-                        ["_init"] + depth_files, init_pose, args)[1:]
+    all_poses = _track_files(tracker, ["_init"] + rgb_files,
+                             ["_init"] + depth_files, init_pose, args)
+    pred = all_poses[1:]
+    _write_visuals(tracker, ["_init"] + rgb_files, ["_init"] + depth_files,
+                   all_poses, args)
     os.makedirs(args.outdir, exist_ok=True)
     for i, p in enumerate(pred):
         np.savetxt(os.path.join(args.outdir, f"{i:07d}.txt"), p)
@@ -280,9 +406,21 @@ def build_parser():
                         choices=["gt", "posecnn", "poserbpf"],
                         help="initial-pose source (reference predict.py:477-515)")
     parser.add_argument("--track_mode", default="scan",
-                        choices=["scan", "stream"])
+                        choices=["scan", "stream", "ontrack"])
+    parser.add_argument("--chunk_size", default=64, type=int,
+                        help="frames per device chunk in scan mode "
+                             "(bounds HBM residency for long videos)")
+    parser.add_argument("--no_window", action="store_true",
+                        help="stream mode: upload full frames instead of "
+                             "the object window")
     parser.add_argument("--viz_dir", type=str, default=None,
                         help="save projected-point overlays here")
+    parser.add_argument("--save_video", action="store_true",
+                        help="write <outdir>/video.mp4 of the overlays "
+                             "(reference predict.py:403)")
+    parser.add_argument("--canvas_dir", type=str, default=None,
+                        help="save render|crop ROI canvases here "
+                             "(reference predict.py:284-291)")
     parser.add_argument("--bf16", action="store_true")
     return parser
 

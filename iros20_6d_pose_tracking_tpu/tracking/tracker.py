@@ -90,16 +90,26 @@ def track_step(
     frame_rgb: jax.Array,
     frame_depth_mm: jax.Array,
     object_width_mm: jax.Array | None = None,
+    frame_offset_vu: jax.Array | None = None,
 ):
     """One tracking update. All device-side; returns the new 4x4 pose.
 
     Args:
       prev_pose: (4, 4) previous object-in-camera estimate.
-      frame_rgb: (H, W, 3) current frame, float32 in [0, 255].
-      frame_depth_mm: (H, W) current depth in millimetres (float32).
+      frame_rgb: (H, W, 3) current frame; uint8 or float32 in [0, 255].
+        Transfer frames as uint8 — the cast to float32 happens on device
+        AFTER the ROI gather, so the host->device copy is 4x smaller
+        (the reference uploads float32 CUDA tensors, predict.py:267).
+      frame_depth_mm: (H, W) current depth in millimetres (uint16 or
+        float32).
       object_width_mm: optional traced override of the config's ROI width
         (used by the multi-object ensemble path, where the width differs
         per vmapped object and therefore cannot be static).
+      frame_offset_vu: optional (2,) int32 (row, col) position of
+        ``frame_rgb``'s origin inside the full camera image. Used by the
+        windowed streaming path (tracking/stream.py) which uploads only a
+        sub-window around the object: the ROI is computed in full-image
+        coordinates and shifted into window coordinates here.
 
     Returns:
       new_pose (4, 4), plus a dict of intermediates for debugging/viz.
@@ -109,8 +119,15 @@ def track_step(
     bbox = roi_ops.compute_bbox(
         prev_pose, K, width, (1000.0, 1000.0, 1000.0)
     )
-    # Observed branch (B): crop + nearest-resize the real frame.
-    rgbB, depthB = roi_ops.crop_bbox(frame_rgb, frame_depth_mm, bbox, res)
+    bbox_local = bbox if frame_offset_vu is None else (
+        bbox - frame_offset_vu[None, :].astype(jnp.int32)
+    )
+    # Observed branch (B): crop + nearest-resize the real frame. The
+    # gather runs in the transfer dtype; only the (res, res) crop is cast.
+    rgbB, depthB = roi_ops.crop_bbox(frame_rgb, frame_depth_mm, bbox_local,
+                                     res)
+    rgbB = rgbB.astype(jnp.float32)
+    depthB = depthB.astype(jnp.float32)
     # Rendered branch (A): rasterize the CAD model straight into the window.
     window = rz.window_from_bbox(bbox)
     rgbA, depthA = rz.render(
@@ -141,13 +158,15 @@ def track_video(
     mean: jax.Array,
     std: jax.Array,
     init_pose: jax.Array,
-    frames_rgb: jax.Array,       # (T, H, W, 3)
-    frames_depth_mm: jax.Array,  # (T, H, W)
+    frames_rgb: jax.Array,       # (T, H, W, 3) uint8 or float32
+    frames_depth_mm: jax.Array,  # (T, H, W) uint16 or float32 (mm)
     object_width_mm: jax.Array | None = None,
 ):
     """Track a preloaded video with ``lax.scan`` (one compile, zero host
     round-trips). Returns (T, 4, 4) per-frame poses — the output protocol
-    the eval drivers save as txt (reference predict.py:564)."""
+    the eval drivers save as txt (reference predict.py:564). Keep the
+    frames uint8/uint16 so both the H2D transfer and the HBM residency are
+    minimal; casts happen per-ROI inside the step."""
 
     def step(pose, frame):
         rgb, depth = frame
@@ -159,6 +178,29 @@ def track_video(
 
     _, poses = jax.lax.scan(step, init_pose, (frames_rgb, frames_depth_mm))
     return poses
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def roi_views(
+    cfg: TrackerConfig,
+    mesh: rz.MeshArrays,
+    K: jax.Array,
+    pose: jax.Array,
+    frame_rgb: jax.Array,
+    frame_depth_mm: jax.Array,
+):
+    """The (rendered A, cropped B) ROI pair at a pose — the side-by-side
+    canvas the reference shows live every frame (reference
+    predict.py:284-291). Viz-only: no CNN, no normalization."""
+    res = (cfg.resolution, cfg.resolution)
+    bbox = roi_ops.compute_bbox(pose, K, cfg.object_width_mm,
+                                (1000.0, 1000.0, 1000.0))
+    rgbB, depthB = roi_ops.crop_bbox(frame_rgb, frame_depth_mm, bbox, res)
+    rgbA, depthA = rz.render(
+        mesh, pose, K, rz.window_from_bbox(bbox), out_hw=res,
+        near=cfg.near, far=cfg.far, impl=cfg.render_impl,
+    )
+    return rgbA, depthA, rgbB.astype(jnp.float32), depthB.astype(jnp.float32)
 
 
 class Tracker:
@@ -272,9 +314,10 @@ class Tracker:
         one batched program and the depth-agreement winner is kept; the
         winner's health score lands in ``self.last_score``.
         """
-        depth = np.asarray(current_depth, np.float32)
-        if depth.dtype != np.uint16 and depth.max() < 100.0:
-            depth = depth * 1000.0  # metres -> mm
+        depth = np.asarray(current_depth)
+        if np.issubdtype(depth.dtype, np.floating) and depth.size and \
+                float(depth.max()) < 100.0:
+            depth = (depth * 1000.0).astype(np.float32)  # metres -> mm
         if samples > 1:
             from . import hypotheses as hy
 
@@ -298,8 +341,8 @@ class Tracker:
                 self.mean,
                 self.std,
                 jnp.asarray(prev_pose, jnp.float32),
-                jnp.asarray(current_rgb, jnp.float32),
-                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(current_rgb),  # uint8 stays uint8 over the wire
+                jnp.asarray(depth),
             )
         self.prev_rgb = current_rgb
         self.prev_depth = depth
@@ -309,7 +352,9 @@ class Tracker:
         return np.asarray(new_pose)
 
     def track_video(self, init_pose, frames_rgb, frames_depth_mm):
-        """Whole-video scan (preloaded frames). Returns (T, 4, 4) numpy."""
+        """Whole-video scan (preloaded frames). Returns (T, 4, 4) numpy.
+        Frames keep their dtype across the host boundary — pass uint8 RGB
+        and uint16 depth for 6x less transfer than float32."""
         poses = track_video(
             self.model,
             self.cfg,
@@ -319,10 +364,75 @@ class Tracker:
             self.mean,
             self.std,
             jnp.asarray(init_pose, jnp.float32),
-            jnp.asarray(frames_rgb, jnp.float32),
-            jnp.asarray(frames_depth_mm, jnp.float32),
+            jnp.asarray(frames_rgb),
+            jnp.asarray(frames_depth_mm),
         )
         return np.asarray(poses)
+
+    def track_video_chunked(self, init_pose, rgb_source, depth_source,
+                            chunk_size: int = 64, n_frames: int | None = None):
+        """Bounded-memory whole-video tracking: stream the video through
+        the fused ``lax.scan`` in fixed-size chunks, carrying the pose on
+        device between chunks.
+
+        The reference streams frame-by-frame from disk (reference
+        predict.py:529-534); the round-1 scan path instead preloaded the
+        whole sequence (7+ GB for a real 2000-frame YCB video at float32 —
+        past v5e HBM). Chunking keeps HBM residency at
+        ``chunk_size x (uint8 RGB + uint16 depth)`` (~100 MB at 64 frames)
+        while preserving scan-level throughput: the next chunk's host load
+        (background thread) and H2D transfer overlap the current chunk's
+        compute, and only (chunk, 4, 4) poses come back per chunk.
+
+        Args:
+          rgb_source / depth_source: (T, H, W[, 3]) arrays, or callables
+            ``f(start, stop) -> np.ndarray`` (e.g. lazy PNG decoders).
+          n_frames: required when the sources are callables.
+
+        Returns (T, 4, 4) float32 poses; bitwise-identical to a single
+        whole-video scan (tests/test_tracker.py).
+        """
+        import concurrent.futures as cf
+
+        if n_frames is None:
+            assert not callable(rgb_source), "n_frames required with callables"
+            n_frames = len(rgb_source)
+        if n_frames == 0:
+            return np.zeros((0, 4, 4), np.float32)
+        get_rgb = rgb_source if callable(rgb_source) else \
+            (lambda a, b: rgb_source[a:b])
+        get_depth = depth_source if callable(depth_source) else \
+            (lambda a, b: depth_source[a:b])
+
+        def load(a, b):
+            rgb = np.ascontiguousarray(get_rgb(a, b))
+            dep = np.ascontiguousarray(get_depth(a, b))
+            pad = chunk_size - (b - a)
+            if pad:  # repeat the last frame so every chunk compiles once
+                rgb = np.concatenate([rgb, np.repeat(rgb[-1:], pad, 0)])
+                dep = np.concatenate([dep, np.repeat(dep[-1:], pad, 0)])
+            return rgb, dep
+
+        pose_dev = jnp.asarray(init_pose, jnp.float32)
+        out = []
+        starts = list(range(0, n_frames, chunk_size))
+        with cf.ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(load, starts[0],
+                            min(starts[0] + chunk_size, n_frames))
+            for i, a in enumerate(starts):
+                b = min(a + chunk_size, n_frames)
+                rgb_np, dep_np = fut.result()
+                if i + 1 < len(starts):
+                    a2 = starts[i + 1]
+                    fut = ex.submit(load, a2, min(a2 + chunk_size, n_frames))
+                poses = track_video(
+                    self.model, self.cfg, self.variables, self.mesh,
+                    self.K, self.mean, self.std, pose_dev,
+                    jax.device_put(rgb_np), jax.device_put(dep_np),
+                )
+                pose_dev = poses[b - a - 1]
+                out.append(np.asarray(poses[: b - a]))
+        return np.concatenate(out, axis=0)
 
 
 def _load_any_checkpoint(path: str):

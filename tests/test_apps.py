@@ -86,6 +86,85 @@ def test_predict_cli_ycbv(fixture_root, tmp_path):
     np.testing.assert_allclose(p0[3], [0, 0, 0, 1])
 
 
+def _run_predict(fixture_root, out, extra):
+    from iros20_6d_pose_tracking_tpu.apps import predict
+
+    predict.main([
+        "--mode", "ycbv", "--seq_id", "48", "--class_id", "4",
+        "--ycb_dir", str(fixture_root),
+        "--train_data_path", str(fixture_root / "train_data"),
+        "--mean_std_path", str(fixture_root),
+        "--model_path", str(fixture_root / "object.obj"),
+        "--outdir", str(out), *extra,
+    ])
+    files = sorted(p for p in os.listdir(out) if p.endswith(".txt")
+                   and "gt" not in p)
+    return np.stack([np.loadtxt(out / p) for p in files])
+
+
+def test_predict_cli_modes_agree(fixture_root, tmp_path):
+    """scan (chunked), stream (pipelined windowed), and ontrack (blocking
+    parity loop) must produce the same trajectory."""
+    scan = _run_predict(fixture_root, tmp_path / "scan",
+                        ["--track_mode", "scan", "--chunk_size", "2"])
+    stream = _run_predict(fixture_root, tmp_path / "stream",
+                          ["--track_mode", "stream"])
+    ontrack = _run_predict(fixture_root, tmp_path / "ontrack",
+                           ["--track_mode", "ontrack"])
+    np.testing.assert_allclose(scan, ontrack, atol=1e-5)
+    np.testing.assert_allclose(stream, ontrack, atol=1e-5)
+
+
+def test_predict_cli_scan_reinit(fixture_root, tmp_path):
+    """--reinit_frames works in scan mode by segmenting the chunked scan
+    at the re-init frame (round-1 fell back to the slow stream path)."""
+    import scipy.io
+
+    ycb = fixture_root
+    (ycb / "image_sets").mkdir(exist_ok=True)
+    with open(ycb / "image_sets" / "keyframe.txt", "w") as f:
+        f.write("0048/000001\n0048/000002\n")
+    resdir = ycb / "YCB_Video_toolbox" / "results_PoseCNN_RSS2018"
+    resdir.mkdir(parents=True, exist_ok=True)
+    reinit_pose = np.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0.55],
+                            [0, 0, 0, 1]])
+    for idx in (0, 1):
+        scipy.io.savemat(resdir / f"{idx:06d}.mat", {
+            "rois": np.array([[0, 4.0, 0, 0, 0, 0, 0]]),
+            "poses_icp": np.array([[1.0, 0, 0, 0, 0.0, 0.0, 0.55]]),
+        })
+    poses = _run_predict(
+        fixture_root, tmp_path / "reinit",
+        ["--track_mode", "scan", "--chunk_size", "2",
+         "--reinit_frames", "48/3"],
+    )
+    # frame index 2 (= reinit_frames entry 3, 1-based) restarts from the
+    # PoseCNN pose; its output must stay within one tanh-bounded update.
+    dt = np.linalg.norm(poses[2][:3, 3] - reinit_pose[:3, 3])
+    assert dt <= np.sqrt(3) * 0.03 + 1e-6
+
+
+def test_predict_cli_visual_outputs(fixture_root, tmp_path):
+    """--viz_dir / --save_video / --canvas_dir write the reference's
+    visual artifacts (reference predict.py:403,424-433,284-291)."""
+    out = tmp_path / "viz_run"
+    viz = tmp_path / "viz"
+    canvas = tmp_path / "canvas"
+    _run_predict(fixture_root, out,
+                 ["--track_mode", "scan", "--viz_dir", str(viz),
+                  "--save_video", "--canvas_dir", str(canvas)])
+    assert len(list(viz.glob("*.png"))) == 3
+    assert len(list(canvas.glob("*.png"))) == 3
+    import cv2
+
+    assert (out / "video.mp4").exists()
+    cap = cv2.VideoCapture(str(out / "video.mp4"))
+    assert cap.isOpened() and int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+    # canvas = render | crop side by side with a 10px gap
+    img = cv2.imread(str(sorted(canvas.glob("*.png"))[0]))
+    assert img.shape == (RES, RES * 2 + 10, 3)
+
+
 def test_predict_cli_ycbineoat(fixture_root, tmp_path):
     from iros20_6d_pose_tracking_tpu.apps import predict
 

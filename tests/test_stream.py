@@ -1,0 +1,174 @@
+"""Streaming (pipelined per-frame) and chunked-scan tracking tests.
+
+Covers the round-2 deployment path: uint8/uint16 transfer equivalence,
+the packed-window StreamTracker vs full-frame tracking, chunked
+bounded-memory video tracking vs the whole-video scan, and mid-stream
+re-initialization.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iros20_6d_pose_tracking_tpu.models import tracknet
+from iros20_6d_pose_tracking_tpu.render import mesh as M
+from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+from iros20_6d_pose_tracking_tpu.tracking import stream as st
+from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+H, W = 192, 256
+RES = 64
+K = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1.0]], np.float32)
+DATASET_INFO = {
+    "camera": {"focalX": 300.0, "focalY": 300.0, "centerX": W / 2,
+               "centerY": H / 2, "width": W, "height": H},
+    "resolution": RES,
+    "boundingbox": 10,
+}
+
+
+def _tracker(head_scale=0.05, seed=0):
+    """Tracker over a small sphere; head weights scaled down so the pose
+    drifts a few px/frame (real movement, but window-safe)."""
+    t = trk.Tracker(DATASET_INFO, np.zeros(8), np.ones(8) * 100.0,
+                    mesh=M.make_icosphere(subdiv=2, radius=0.05))
+    params = jax.tree.map(lambda x: x, t.variables["params"])
+    for head in ("trans_out", "rot_out"):
+        params[head]["kernel"] = params[head]["kernel"] * head_scale
+        params[head]["bias"] = params[head]["bias"] * 0.0
+    t.variables = {"params": params, "batch_stats": t.variables["batch_stats"]}
+    return t
+
+
+def _video(t, pose, n):
+    rgb, depth = rz.render(
+        t.mesh, jnp.asarray(pose, jnp.float32), jnp.array(K),
+        rz.full_frame_window(W, H), out_hw=(H, W),
+    )
+    rgb_u8 = np.asarray(rgb).astype(np.uint8)
+    depth_u16 = np.asarray(depth).astype(np.uint16)
+    return (np.stack([rgb_u8] * n), np.stack([depth_u16] * n))
+
+
+def test_uint8_step_matches_float32():
+    """Casting after the ROI gather == casting before it (nearest crop
+    touches no arithmetic), so uint8 transfer is lossless."""
+    t = _tracker()
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.02, -0.01, 0.5]
+    rgbs, depths = _video(t, pose, 1)
+    a, _ = trk.track_step(t.model, t.cfg, t.variables, t.mesh, t.K, t.mean,
+                          t.std, jnp.array(pose), jnp.array(rgbs[0]),
+                          jnp.array(depths[0]))
+    b, _ = trk.track_step(t.model, t.cfg, t.variables, t.mesh, t.K, t.mean,
+                          t.std, jnp.array(pose),
+                          jnp.array(rgbs[0].astype(np.float32)),
+                          jnp.array(depths[0].astype(np.float32)))
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-6)
+
+
+def test_pack_window_roundtrip():
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    depth = rng.randint(0, 4000, (32, 32)).astype(np.uint16)
+    packed = st.pack_window(rgb, depth)
+    assert packed.shape == (32, 32, 5) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(packed[..., :3], rgb)
+    rec = packed[..., 3].astype(np.int32) + packed[..., 4].astype(np.int32) * 256
+    np.testing.assert_array_equal(rec, depth)
+
+
+def test_stream_window_matches_full_frame():
+    """Windowed-packed streaming == full-frame tracking while the ROI
+    stays inside the window (the offset math must be exact)."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    n = 6
+    t1 = _tracker()
+    rgbs, depths = _video(t1, pose, n)
+
+    ref = [pose]
+    for i in range(n):
+        ref.append(t1.on_track(ref[-1], rgbs[i], depths[i]))
+    ref = np.stack(ref[1:])
+
+    t2 = _tracker()
+    s = st.StreamTracker(t2, window=True, pose_lag=2)
+    s.begin(pose, image_hw=(H, W))
+    for i in range(n):
+        s.push(rgbs[i], depths[i])
+    got = s.poses()
+    assert got.shape == (n, 4, 4)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # The window really was a sub-frame (not a degenerate full upload).
+    assert s._bucket(s._side_px) < min(H, W)
+
+
+def test_stream_full_frame_mode():
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    t = _tracker()
+    rgbs, depths = _video(t, pose, 3)
+    s = st.StreamTracker(t, window=False)
+    s.begin(pose)
+    for i in range(3):
+        s.push(rgbs[i], depths[i])
+    assert s.poses().shape == (3, 4, 4)
+    assert np.isfinite(s.current_pose()).all()
+
+
+def test_stream_set_pose_reinit():
+    """set_pose mid-stream == restarting from that pose (reference
+    predict.py:539-541 --reinit_frames)."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    t = _tracker()
+    rgbs, depths = _video(t, pose, 4)
+
+    s = st.StreamTracker(t, window=True)
+    s.begin(pose, image_hw=(H, W))
+    s.push(rgbs[0], depths[0])
+    reinit = np.eye(4, dtype=np.float32)
+    reinit[:3, 3] = [0.01, 0.0, 0.52]
+    s.set_pose(reinit)
+    s.push(rgbs[1], depths[1])
+    after = s.poses()[-1]
+
+    s2 = st.StreamTracker(t, window=True)
+    s2.begin(reinit, image_hw=(H, W))
+    s2.push(rgbs[1], depths[1])
+    np.testing.assert_allclose(after, s2.poses()[-1], atol=1e-6)
+
+
+def test_chunked_matches_whole_scan():
+    """Chunked streaming scan (padded last chunk) == one whole-video scan."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    t = _tracker()
+    n = 8
+    rgbs, depths = _video(t, pose, n)
+
+    whole = t.track_video(pose, rgbs, depths)
+    chunked = t.track_video_chunked(pose, rgbs, depths, chunk_size=3)
+    assert chunked.shape == (n, 4, 4)
+    np.testing.assert_allclose(chunked, whole, atol=1e-6)
+
+
+def test_chunked_callable_sources():
+    """Lazy per-chunk decode path (file-backed videos)."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    t = _tracker()
+    n = 5
+    rgbs, depths = _video(t, pose, n)
+    calls = []
+
+    def rgb_src(a, b):
+        calls.append((a, b))
+        return rgbs[a:b]
+
+    chunked = t.track_video_chunked(pose, rgb_src,
+                                    lambda a, b: depths[a:b],
+                                    chunk_size=2, n_frames=n)
+    whole = t.track_video(pose, rgbs, depths)
+    np.testing.assert_allclose(chunked, whole, atol=1e-6)
+    assert calls == [(0, 2), (2, 4), (4, 5)]
