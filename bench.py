@@ -1,33 +1,46 @@
-"""Benchmark: single-object tracking frequency on one TPU chip.
+"""Benchmark: single-object tracking on one TPU chip.
 
-Measures the fused per-frame tracking step (render prior ROI -> crop
-observed frame -> normalize -> Se3TrackNet forward -> se(3) compose) in
-steady state over a preloaded synthetic video via ``lax.scan`` — the
-deployment path of tracking/tracker.py.
+Measures the framework's two deployment modes against the reference's
+90.9 Hz (BASELINE.md, reference README.md:6):
 
-Reference baseline: 90.9 Hz on the paper's GPU (BASELINE.md). North star:
->300 Hz single-object on one TPU core (BASELINE.json).
+  - **scan**: the fused per-frame step (render prior ROI -> crop observed
+    frame -> normalize -> Se3TrackNet -> se(3) compose) in steady state
+    over a preloaded uint8 video via ``lax.scan`` — tracking/tracker.py's
+    throughput path.
+  - **host-loop**: pipelined per-frame dispatch via
+    tracking/stream.py::StreamTracker (windowed packed uint8 upload,
+    device-resident pose) — the live/ROS path, including real H2D
+    transfer per frame.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Diagnostics go to stderr.
+Also reports bf16 scan throughput and achieved FLOP utilization (MFU) of
+the hot step from XLA's compiled cost analysis.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extra
+keys for host-loop/bf16/MFU}. Diagnostics go to stderr.
+
+NOTE (axon tunnel): block_until_ready does not reliably block — all
+timings force a D2H fetch via np.asarray.
 """
 import json
 import os
 import sys
 import time
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
 BASELINE_HZ = 90.9
+# TPU v5e (v5 lite) chip peak: 197 TFLOP/s bf16 / 394 TOP/s int8.
+PEAK_FLOPS_BF16 = 197e12
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def build(res=176):
     import jax
     import jax.numpy as jnp
 
@@ -36,9 +49,6 @@ def main():
     from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
     from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
 
-    log(f"devices: {jax.devices()}")
-
-    res = 176
     # Flagship mesh: subdiv-4 icosphere (5120 faces / 2562 verts), a
     # realistic decimated-CAD budget for 176x176 ROI rendering.
     tm = M.make_icosphere(subdiv=4, radius=0.05)
@@ -47,6 +57,17 @@ def main():
 
     model = tracknet.Se3TrackNet(image_size=res)
     variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
+    # Zero the regression heads: random weights make the pose drift
+    # systematically off the (static) synthetic object, changing the
+    # stream tracker's window bucket mid-run and inserting XLA recompiles
+    # into the timing. A trained tracker on a static scene holds its pose
+    # (negative feedback); zero heads reproduce that fixed point exactly
+    # while every layer still executes with the full FLOP count.
+    params = variables["params"]
+    for head in ("trans_out", "rot_out"):
+        params[head]["kernel"] = params[head]["kernel"] * 0.0
+        params[head]["bias"] = params[head]["bias"] * 0.0
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
     cfg = trk.TrackerConfig(
         resolution=res, object_width_mm=tm.diameter * 1000 * 1.1,
         render_impl="pallas",
@@ -59,25 +80,39 @@ def main():
     std = jnp.full(8, 100.0)
 
     # Synthetic observed video: the object rendered full-frame at a fixed
-    # pose (contents don't affect timing; shapes/dtypes match deployment).
+    # pose (contents don't affect timing; shapes/dtypes match deployment:
+    # uint8 RGB + uint16 depth, like a real camera).
     pose = jnp.eye(4).at[2, 3].set(0.6)
     rgb_f, depth_f = rz.render(
         mesh, pose, K, rz.full_frame_window(640, 480), out_hw=(480, 640)
     )
-    T = 100
-    frames_rgb = jnp.broadcast_to(rgb_f, (T,) + rgb_f.shape)
-    frames_depth = jnp.broadcast_to(depth_f, (T,) + depth_f.shape)
-
-    run = lambda: trk.track_video(
-        model, cfg, variables, mesh, K, mean, std, pose,
-        frames_rgb, frames_depth,
+    rgb_u8 = np.asarray(rgb_f).astype(np.uint8)
+    depth_u16 = np.asarray(depth_f).astype(np.uint16)
+    return types.SimpleNamespace(
+        model=model, variables=variables, cfg=cfg, K=K, mean=mean, std=std,
+        mesh=mesh, pose=pose, rgb_u8=rgb_u8, depth_u16=depth_u16,
     )
 
-    t0 = time.perf_counter()
-    np.asarray(run())  # D2H fetch: block_until_ready is unreliable on the
-    compile_and_first = time.perf_counter() - t0  # tunneled axon backend
-    log(f"first call (compile + {T} frames): {compile_and_first:.2f}s")
 
+def bench_scan(b, dtype_label="f32", T=100, model=None, cfg=None):
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+    model = model or b.model
+    cfg = cfg or b.cfg
+    frames_rgb = jnp.asarray(np.broadcast_to(b.rgb_u8, (T,) + b.rgb_u8.shape))
+    frames_depth = jnp.asarray(
+        np.broadcast_to(b.depth_u16, (T,) + b.depth_u16.shape))
+
+    run = lambda: trk.track_video(
+        model, cfg, b.variables, b.mesh, b.K, b.mean, b.std, b.pose,
+        frames_rgb, frames_depth,
+    )
+    t0 = time.perf_counter()
+    np.asarray(run())
+    log(f"scan[{dtype_label}] first call (compile + {T} frames): "
+        f"{time.perf_counter() - t0:.2f}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -85,31 +120,103 @@ def main():
         times.append(time.perf_counter() - t0)
     per_frame = min(times) / T
     hz = 1.0 / per_frame
-    log(f"steady-state: {per_frame * 1e3:.3f} ms/frame = {hz:.1f} Hz "
-        f"(runs: {[f'{t:.3f}' for t in times]})")
+    log(f"scan[{dtype_label}] steady-state: {per_frame * 1e3:.3f} ms/frame "
+        f"= {hz:.1f} Hz (runs: {[f'{t:.3f}' for t in times]})")
+    return hz
 
-    # Host-loop mode (per-frame call with H2D upload) for reference.
-    rgb_np = np.asarray(rgb_f)
-    depth_np = np.asarray(depth_f)
-    pose_np = np.asarray(pose)
-    step = lambda: trk.track_step(
-        model, cfg, variables, mesh, K, mean, std,
-        jnp.asarray(pose_np), jnp.asarray(rgb_np), jnp.asarray(depth_np),
+
+def bench_host_loop(b, n=300):
+    """Live per-frame loop: windowed packed uint8 upload + async dispatch,
+    pose fetched once at the end (deployment consumers read poses with
+    bounded lag; a blocking reader costs one tunnel round-trip)."""
+    from iros20_6d_pose_tracking_tpu.tracking.stream import StreamTracker
+
+    t = types.SimpleNamespace(
+        model=b.model, cfg=b.cfg, variables=b.variables, mesh=b.mesh,
+        K=b.K, mean=b.mean, std=b.std,
     )
-    np.asarray(step()[0])
+    s = StreamTracker(t, window=True)
+    s.begin(np.asarray(b.pose), image_hw=b.rgb_u8.shape[:2])
+    s.push(b.rgb_u8, b.depth_u16)  # compile
+    _ = s.current_pose()
+
+    s.begin(np.asarray(b.pose), image_hw=b.rgb_u8.shape[:2])
     t0 = time.perf_counter()
-    n = 30
     for _ in range(n):
-        out2 = step()
-    np.asarray(out2[0])
-    host_hz = n / (time.perf_counter() - t0)
-    log(f"host-loop mode: {host_hz:.1f} Hz (incl. per-frame H2D upload)")
+        s.push(b.rgb_u8, b.depth_u16)
+    _ = s.current_pose()  # force the whole pipeline
+    hz = n / (time.perf_counter() - t0)
+    side = s._bucket(s._side_px)
+    log(f"host-loop (windowed {side}px packed uint8, pipelined): {hz:.1f} Hz")
+    return hz
+
+
+def step_flops(b):
+    """FLOPs of one compiled track_step from XLA cost analysis."""
+    import jax
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+    def fn(pose, rgb, depth):
+        new_pose, _ = trk.track_step(
+            b.model, b.cfg, b.variables, b.mesh, b.K, b.mean, b.std,
+            pose, rgb, depth,
+        )
+        return new_pose
+
+    try:
+        lowered = jax.jit(fn).lower(
+            b.pose, jnp.asarray(b.rgb_u8), jnp.asarray(b.depth_u16))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:  # cost analysis is best-effort on axon
+        log(f"cost_analysis unavailable: {e}")
+        return 0.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.models import tracknet
+    from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+    log(f"devices: {jax.devices()}")
+    b = build()
+
+    hz = bench_scan(b, "f32")
+
+    model_bf16 = tracknet.Se3TrackNet(image_size=b.cfg.resolution,
+                                      dtype=jnp.bfloat16)
+    cfg_bf16 = trk.TrackerConfig(
+        resolution=b.cfg.resolution, object_width_mm=b.cfg.object_width_mm,
+        render_impl="pallas", dtype=jnp.bfloat16,
+    )
+    hz_bf16 = bench_scan(b, "bf16", model=model_bf16, cfg=cfg_bf16)
+
+    host_hz = bench_host_loop(b)
+
+    flops = step_flops(b)
+    achieved = flops * hz
+    mfu = achieved / PEAK_FLOPS_BF16 * 100
+    log(f"track_step flops={flops / 1e9:.2f} GF -> achieved "
+        f"{achieved / 1e12:.3f} TFLOP/s = {mfu:.2f}% of v5e bf16 peak "
+        f"(latency-bound tracker: batch-1 CNN + VPU-bound raster)")
 
     print(json.dumps({
         "metric": "tracking_hz_single_object",
         "value": round(hz, 2),
         "unit": "Hz",
         "vs_baseline": round(hz / BASELINE_HZ, 3),
+        "tracking_hz_bf16": round(hz_bf16, 2),
+        "tracking_hz_host_loop": round(host_hz, 2),
+        "host_loop_vs_baseline": round(host_hz / BASELINE_HZ, 3),
+        "step_gflops": round(flops / 1e9, 3),
+        "achieved_tflops": round(achieved / 1e12, 4),
+        "mfu_pct_bf16_peak": round(mfu, 3),
     }))
 
 

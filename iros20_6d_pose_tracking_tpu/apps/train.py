@@ -110,8 +110,10 @@ def main(argv=None):
             return train_ds.batches(cfg.batch_size, shuffle=True, seed=epoch)
 
         def val_batches(epoch):
+            # pad the epoch-tail batch so eval_step compiles exactly once
+            # (losses stay exact: eval_step masks the padding).
             return val_ds.batches(cfg.batch_size, shuffle=False,
-                                  drop_last=False)
+                                  drop_last=False, pad_to_batch=True)
 
         mean_src = train_ds.batches(cfg.batch_size, shuffle=False)
 

@@ -115,7 +115,8 @@ class PairDataset:
         return rec
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True, n_threads: int = 16):
+                drop_last: bool = True, n_threads: int = 16,
+                pad_to_batch: bool = False):
         """Yield stacked numpy batches (N, ...) dicts.
 
         With the native loader built, each batch's 5N PNGs decode on the
@@ -123,6 +124,11 @@ class PairDataset:
         of the reference's 20 DataLoader worker processes,
         reference config.yml:20); otherwise falls back to per-record
         reads.
+
+        ``pad_to_batch`` (validation): pad a final partial batch up to
+        ``batch_size`` by wrapping around and add an ``n_valid`` count so
+        the jitted eval step keeps ONE compiled shape across epochs while
+        losses stay exact (trainer.eval_step masks the padding).
         """
         order = np.arange(len(self))
         if shuffle:
@@ -132,20 +138,25 @@ class PairDataset:
             idx = order[s : s + batch_size]
             if len(idx) == 0:
                 continue
+            n_valid = len(idx)
+            if pad_to_batch and n_valid < batch_size:
+                extra = order[np.arange(batch_size - n_valid) % len(order)]
+                idx = np.concatenate([idx, extra])
             batch = self._native_batch(idx, n_threads)
-            if batch is not None:
-                yield batch
-                continue
-            recs = [self[int(i)] for i in idx]
-            yield {
-                "rgbA": np.stack([r.rgbA for r in recs]),
-                "depthA": np.stack([r.depthA for r in recs]),
-                "rgbB": np.stack([r.rgbB for r in recs]),
-                "depthB": np.stack([r.depthB for r in recs]),
-                "maskB": np.stack([r.maskB for r in recs]),
-                "A_in_cam": np.stack([r.A_in_cam for r in recs]),
-                "B_in_cam": np.stack([r.B_in_cam for r in recs]),
-            }
+            if batch is None:
+                recs = [self[int(i)] for i in idx]
+                batch = {
+                    "rgbA": np.stack([r.rgbA for r in recs]),
+                    "depthA": np.stack([r.depthA for r in recs]),
+                    "rgbB": np.stack([r.rgbB for r in recs]),
+                    "depthB": np.stack([r.depthB for r in recs]),
+                    "maskB": np.stack([r.maskB for r in recs]),
+                    "A_in_cam": np.stack([r.A_in_cam for r in recs]),
+                    "B_in_cam": np.stack([r.B_in_cam for r in recs]),
+                }
+            if pad_to_batch:
+                batch["n_valid"] = n_valid
+            yield batch
 
     def _native_batch(self, idx, n_threads: int):
         """Whole-batch decode on the C++ pool. Returns None when the

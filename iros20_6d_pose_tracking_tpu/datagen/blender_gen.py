@@ -103,6 +103,122 @@ def randomize_lights(scene, cfg, rng):
         scene.collection.objects.link(ob)
 
 
+def build_background_box(scene, room: float = 1.2, center_z: float = -0.65):
+    """Box of 6 planes enclosing the scene volume, each with an
+    image-texture material slot (reference
+    blender_dataset_generator.py:175-192 builds the same textured room).
+    Returns the plane objects; ``assign_random_textures`` re-textures them
+    per frame."""
+    import bpy
+    import mathutils
+
+    planes = []
+    specs = [  # (location, rotation_euler)
+        ((0, 0, center_z - room / 2), (0, 0, 0)),            # floor
+        ((0, 0, center_z + room / 2), (3.1416, 0, 0)),       # ceiling
+        ((-room / 2, 0, center_z), (0, 1.5708, 0)),          # walls
+        ((room / 2, 0, center_z), (0, -1.5708, 0)),
+        ((0, -room / 2, center_z), (-1.5708, 0, 0)),
+        ((0, room / 2, center_z), (1.5708, 0, 0)),
+    ]
+    for i, (loc, rot) in enumerate(specs):
+        mesh = bpy.data.meshes.new(f"bgplane{i}")
+        mesh.from_pydata(
+            [(-room, -room, 0), (room, -room, 0), (room, room, 0),
+             (-room, room, 0)], [], [(0, 1, 2, 3)])
+        mesh.uv_layers.new()
+        ob = bpy.data.objects.new(f"bgplane{i}", mesh)
+        ob.location = mathutils.Vector(loc)
+        ob.rotation_euler = mathutils.Euler(rot)
+        mat = bpy.data.materials.new(f"bgmat{i}")
+        mat.use_nodes = True
+        bsdf = mat.node_tree.nodes.get("Principled BSDF")
+        tex = mat.node_tree.nodes.new("ShaderNodeTexImage")
+        mat.node_tree.links.new(tex.outputs["Color"],
+                                bsdf.inputs["Base Color"])
+        ob.data.materials.append(mat)
+        scene.collection.objects.link(ob)
+        planes.append(ob)
+    return planes
+
+
+def load_texture_files(cfg):
+    """Texture image paths from the dataset_info blender config
+    (reference dataset_info.yml:34-38 texture folder keys)."""
+    files = []
+    for key in ("texture_folder", "texture_folders", "texture_paths"):
+        val = cfg.get(key)
+        if not val:
+            continue
+        folders = val if isinstance(val, (list, tuple)) else [val]
+        for folder in folders:
+            files += [
+                f for f in glob.glob(os.path.join(folder, "**", "*"),
+                                     recursive=True)
+                if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+            ]
+    return sorted(files)
+
+
+def assign_random_textures(planes, texture_files, rng):
+    """Random texture per plane per frame (reference
+    blender_dataset_generator.py:296-304 re-textures every image)."""
+    import bpy
+
+    if not texture_files:
+        return
+    for ob in planes:
+        path = texture_files[rng.randint(len(texture_files))]
+        img = bpy.data.images.get(os.path.basename(path))
+        if img is None:
+            try:
+                img = bpy.data.images.load(path)
+            except Exception:
+                continue
+        tex = ob.data.materials[0].node_tree.nodes.get("Image Texture")
+        if tex is not None:
+            tex.image = img
+
+
+def setup_rigid_body(scene, objects, planes, rng):
+    """Rigid-body world: objects active, the room passive, so the random
+    drop + 3-frame settle actually simulates (the reference configures the
+    same gravity sim, blender_dataset_generator.py:306-363). Returns True
+    when the world is live."""
+    import bpy
+
+    try:
+        if scene.rigidbody_world is None:
+            bpy.ops.rigidbody.world_add()
+        for _, ob in objects:
+            bpy.context.view_layer.objects.active = ob
+            if ob.rigid_body is None:
+                bpy.ops.rigidbody.object_add()
+            ob.rigid_body.type = "ACTIVE"
+            ob.rigid_body.collision_shape = "CONVEX_HULL"
+        for ob in planes:
+            bpy.context.view_layer.objects.active = ob
+            if ob.rigid_body is None:
+                bpy.ops.rigidbody.object_add()
+            ob.rigid_body.type = "PASSIVE"
+        return True
+    except Exception as e:  # headless builds without the rigidbody op
+        print(f"rigid-body setup unavailable ({e}); using kinematic poses")
+        return False
+
+
+def settle_physics(scene, rng, frames: int = 3):
+    """Random gravity direction + short settle (reference
+    blender_dataset_generator.py:349-363: random gravity, 3 frames)."""
+    g = rng.randn(3)
+    g = g / (max(float((g ** 2).sum()) ** 0.5, 1e-9)) * 9.81
+    scene.gravity = tuple(g)
+    if scene.rigidbody_world is not None:
+        scene.rigidbody_world.point_cache.frame_start = scene.frame_current
+    for _ in range(frames):
+        scene.frame_set(scene.frame_current + 1)
+
+
 def random_pose(rng, ranges):
     import mathutils
 
@@ -161,14 +277,22 @@ def main():
         (info["train_samples"] + info["val_samples"]) / 0.7
     )  # reference blender_dataset_generator.py:271 oversampling factor
 
+    # Textured room + rigid-body world (reference :175-192, :306-363).
+    planes = build_background_box(scene)
+    texture_files = load_texture_files(blender_cfg)
+    if not texture_files:
+        print("no texture folders configured; background planes stay untextured")
+    physics = setup_rigid_body(scene, objects, planes, np_rng)
+
     for i in range(count):
         randomize_lights(scene, blender_cfg, np_rng)
+        assign_random_textures(planes, texture_files, np_rng)
         for _, ob in objects:
             loc, rot = random_pose(np_rng, blender_cfg)
             ob.location = loc
             ob.rotation_euler = rot
-        # Short physics settle if rigid bodies are configured.
-        scene.frame_set(scene.frame_current + 3)
+        if physics:
+            settle_physics(scene, np_rng, frames=3)
 
         scene.render.filepath = os.path.join(args.out_dir, f"{i:07d}rgb.png")
         bpy.ops.render.render(write_still=True)

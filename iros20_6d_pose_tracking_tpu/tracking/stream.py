@@ -18,14 +18,15 @@ H2D transfer, compute, and D2H latency.
   3. **Windowed upload** (`window=True`) — only a square sub-window
      around the object's last known position is uploaded, not the full
      frame. The window center comes from a *lagged* pose snapshot fetched
-     asynchronously (``copy_to_host_async``) so the host never blocks on
-     the device; the margin absorbs the inter-frame motion the tracker is
-     trained for (<=0.02 m / 15 deg per frame, reference
-     dataset_info.yml:12-13) times the snapshot lag. Window sizes are
-     quantized to multiples of 64 px so only a handful of XLA programs
-     ever compile. RGB and the two depth bytes are packed into ONE
-     (side, side, 5) uint8 buffer so each frame costs a single H2D
-     transfer plus one dispatch.
+     on a background thread so the push path never blocks on the device;
+     the margin absorbs the inter-frame motion the tracker is trained for
+     (<=0.02 m / 15 deg per frame, reference dataset_info.yml:12-13)
+     times the snapshot staleness (refetch_every + fetch round-trip).
+     Window sizes are quantized to multiples of 64 px so only a handful
+     of XLA programs ever compile; each program closes over the weights,
+     so a call passes just (pose, packed frame, offset). RGB and the two
+     depth bytes are packed into ONE (side, side, 5) uint8 buffer so each
+     frame costs a single H2D transfer plus one dispatch.
   4. **Exactness** — the ROI is still computed from the TRUE device-side
      pose in full-image coordinates (track_step's ``frame_offset_vu``);
      the windowed path is bit-identical to full-frame tracking whenever
@@ -36,7 +37,6 @@ apps/predict_ros.py.
 """
 from __future__ import annotations
 
-import functools
 from collections import deque
 
 import jax
@@ -44,21 +44,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import tracker as trk
-
-
-@functools.partial(jax.jit, static_argnames=("model", "cfg"))
-def _step_packed(model, cfg, variables, mesh, K, mean, std, prev_pose,
-                 packed, offset_vu):
-    """track_step on a (S, S, 5) uint8 packed window: ch 0-2 RGB, ch 3-4
-    little-endian uint16 depth (mm)."""
-    rgb = packed[..., :3]
-    depth = (packed[..., 3].astype(jnp.int32)
-             + packed[..., 4].astype(jnp.int32) * 256).astype(jnp.float32)
-    new_pose, _ = trk.track_step(
-        model, cfg, variables, mesh, K, mean, std, prev_pose, rgb, depth,
-        frame_offset_vu=offset_vu,
-    )
-    return new_pose
 
 
 def pack_window(rgb_u8: np.ndarray, depth_u16: np.ndarray) -> np.ndarray:
@@ -83,21 +68,33 @@ class StreamTracker:
     consumers should let the pipeline run free and fetch at the end.
     """
 
-    def __init__(self, tracker, window: bool = True, margin: float = 1.6,
-                 pose_lag: int = 2, refetch_every: int = 1):
+    def __init__(self, tracker, window: bool = True, margin: float = 1.45,
+                 refetch_every: int = 8, pose_lag: int | None = None):
         self.t = tracker
         self.window = window
         self.margin = margin
-        self.pose_lag = max(1, pose_lag)
+        # How often (frames) to refresh the host's window-center estimate.
+        # The refresh is a D2H pose fetch done on a BACKGROUND thread, so
+        # the push path never blocks; staleness is bounded by
+        # refetch_every + the fetch round-trip (a few frames). The window
+        # margin must absorb that many frames of object motion.
         self.refetch_every = max(1, refetch_every)
+        del pose_lag  # kept for API compat; superseded by the fetch thread
         self._K_np = np.asarray(tracker.K)
         self._pose_dev = None
         self._poses: list = []
-        self._inflight: deque = deque()   # (frame_idx, device pose) awaiting host copy
         self._center_vu = None            # host estimate of the ROI center (v, u)
         self._side_px = None
         self._hw = None
         self._frame_idx = 0
+        self._center_frame = 0            # frame the center estimate came from
+        self._offset_cache = {}           # (top, left) -> device int32 pair
+        self._step_cache = {}             # window side -> jitted closure step
+        self._fetcher = None              # lazy 1-thread executor
+        self._fetch_busy = False
+        self._pending_center = None       # (frame_idx, (center_vu, side_px))
+        self._cur_bucket = None           # hysteresis state of _bucket
+        self._center_hist: deque = deque(maxlen=2)  # (idx, vu) fetched centers
 
     # -- host-side ROI geometry (numpy mirror of ops/roi.compute_bbox) --
     def _host_bbox(self, pose: np.ndarray):
@@ -110,66 +107,151 @@ class StreamTracker:
         return (v, u), side
 
     def _bucket(self, side_px: float) -> int:
+        """Quantized window size with hysteresis: grow as soon as the ROI
+        needs it, shrink only when two quanta smaller — every size change
+        is a fresh XLA program, so size flapping would stall the stream
+        on recompiles."""
         want = int(np.ceil(side_px * self.margin / 64.0)) * 64
         H, W = self._hw
-        return int(min(max(want, 128), min(H, W)))
+        want = int(min(max(want, 128), min(H, W)))
+        cur = self._cur_bucket
+        if cur is None or want > cur or want <= cur - 128:
+            self._cur_bucket = want
+        return self._cur_bucket
 
     def begin(self, init_pose: np.ndarray, image_hw: tuple[int, int] | None = None):
         self._pose_dev = jax.device_put(
             jnp.asarray(np.asarray(init_pose), jnp.float32))
         self._poses = [self._pose_dev]
-        self._inflight.clear()
+        self._pending_center = None
         self._frame_idx = 0
+        self._center_frame = 0
         self._hw = image_hw
         self._center_vu, side = self._host_bbox(np.asarray(init_pose))
         self._side_px = side
+        self._center_hist.clear()
         return self
 
+    def _get_step(self, side_key):
+        """Closure-jitted step for one window size: model weights, mesh,
+        and camera constants are closed over (lifted once into the
+        executable), so each call passes only (pose, frame, offset) —
+        per-call pytree flattening and arg transfers drop to near zero,
+        which matters at tunnel dispatch rates."""
+        fn = self._step_cache.get(side_key)
+        if fn is None:
+            t = self.t
+            model, cfg = t.model, t.cfg
+            variables, mesh = t.variables, t.mesh
+            K, mean, std = t.K, t.mean, t.std
+
+            if side_key == "full":
+                @jax.jit
+                def fn(pose, rgb, depth):
+                    new_pose, _ = trk.track_step(
+                        model, cfg, variables, mesh, K, mean, std,
+                        pose, rgb, depth,
+                    )
+                    return new_pose
+            else:
+                @jax.jit
+                def fn(pose, packed, offset):
+                    rgb = packed[..., :3]
+                    depth = (packed[..., 3].astype(jnp.int32)
+                             + packed[..., 4].astype(jnp.int32) * 256
+                             ).astype(jnp.float32)
+                    new_pose, _ = trk.track_step(
+                        model, cfg, variables, mesh, K, mean, std,
+                        pose, rgb, depth, frame_offset_vu=offset,
+                    )
+                    return new_pose
+            self._step_cache[side_key] = fn
+        return fn
+
     def _update_center(self):
-        """Materialize the oldest in-flight pose snapshot (its async host
-        copy was issued ``pose_lag`` pushes ago, so this doesn't block in
-        steady state) and recenter the window."""
-        while len(self._inflight) > self.pose_lag:
-            _, dev = self._inflight.popleft()
-            pose = np.asarray(dev)
-            self._center_vu, self._side_px = self._host_bbox(pose)
+        """Consume the latest background pose snapshot (if any) and, every
+        ``refetch_every`` frames, hand the current device pose to the
+        fetch thread. The push path never blocks on the device."""
+        pending = self._pending_center
+        if pending is not None:
+            self._pending_center = None
+            idx, (vu, side) = pending
+            if idx >= self._center_frame:
+                self._center_vu, self._side_px = vu, side
+                self._center_frame = idx
+                self._center_hist.append((idx, np.asarray(vu, np.float64)))
+        if (self._frame_idx - self._center_frame >= self.refetch_every
+                and not self._fetch_busy):
+            if self._fetcher is None:
+                import concurrent.futures as cf
+
+                self._fetcher = cf.ThreadPoolExecutor(
+                    1, thread_name_prefix="stream-pose-fetch")
+            self._fetch_busy = True
+            dev, idx = self._pose_dev, self._frame_idx
+
+            def work():
+                try:
+                    self._pending_center = (idx, self._host_bbox(
+                        np.asarray(dev)))
+                finally:
+                    self._fetch_busy = False
+
+            self._fetcher.submit(work)
+
+    def _predicted_center(self):
+        """Constant-velocity extrapolation of the window center: fetched
+        snapshots lag by up to refetch_every + round-trip frames, but
+        object/camera motion is smooth at frame rate, so extrapolating
+        through the last two snapshots cancels most of the staleness error
+        (the margin only has to absorb the acceleration residual)."""
+        if len(self._center_hist) == 2:
+            (i0, c0), (i1, c1) = self._center_hist
+            if i1 > i0:
+                vel = (c1 - c0) / (i1 - i0)
+                # cap the extrapolation horizon: a bad velocity estimate
+                # must not throw the window across the image.
+                ahead = min(self._frame_idx - i1, 3 * self.refetch_every)
+                pred = c1 + vel * ahead
+                return float(pred[0]), float(pred[1])
+        return self._center_vu
+
+    def _offset_dev(self, top: int, left: int):
+        key = (top, left)
+        dev = self._offset_cache.get(key)
+        if dev is None:
+            if len(self._offset_cache) > 256:
+                self._offset_cache.clear()
+            dev = jax.device_put(np.asarray([top, left], np.int32))
+            self._offset_cache[key] = dev
+        return dev
 
     def push(self, rgb_u8: np.ndarray, depth_u16: np.ndarray) -> None:
-        """Dispatch one tracking update. Non-blocking in window mode."""
-        t = self.t
+        """Dispatch one tracking update. Never blocks on the device."""
         if self._hw is None:
             self._hw = rgb_u8.shape[:2]
         if not self.window:
-            new_pose, _ = trk.track_step(
-                t.model, t.cfg, t.variables, t.mesh, t.K, t.mean, t.std,
-                self._pose_dev, jnp.asarray(np.ascontiguousarray(rgb_u8)),
-                jnp.asarray(np.ascontiguousarray(depth_u16)),
+            new_pose = self._get_step("full")(
+                self._pose_dev, np.ascontiguousarray(rgb_u8),
+                np.ascontiguousarray(depth_u16),
             )
         else:
             self._update_center()
             H, W = self._hw
             side = self._bucket(self._side_px)
-            cv, cu = self._center_vu
+            cv, cu = self._predicted_center()
             top = int(np.clip(round(cv - side / 2), 0, max(H - side, 0)))
             left = int(np.clip(round(cu - side / 2), 0, max(W - side, 0)))
             packed = pack_window(
                 np.ascontiguousarray(rgb_u8[top:top + side, left:left + side]),
                 np.ascontiguousarray(depth_u16[top:top + side, left:left + side]),
             )
-            new_pose = _step_packed(
-                t.model, t.cfg, t.variables, t.mesh, t.K, t.mean, t.std,
-                self._pose_dev, jax.device_put(packed),
-                jnp.asarray([top, left], jnp.int32),
+            new_pose = self._get_step(side)(
+                self._pose_dev, packed, self._offset_dev(top, left),
             )
         self._pose_dev = new_pose
         self._poses.append(new_pose)
         self._frame_idx += 1
-        if self.window and self._frame_idx % self.refetch_every == 0:
-            try:
-                new_pose.copy_to_host_async()
-            except Exception:
-                pass  # backend without async host copies: np.asarray later
-            self._inflight.append((self._frame_idx, new_pose))
 
     def set_pose(self, pose: np.ndarray) -> None:
         """Re-initialize mid-stream (reference predict.py:539-541
@@ -177,7 +259,9 @@ class StreamTracker:
         self._pose_dev = jax.device_put(
             jnp.asarray(np.asarray(pose), jnp.float32))
         self._center_vu, self._side_px = self._host_bbox(np.asarray(pose))
-        self._inflight.clear()
+        self._center_frame = self._frame_idx
+        self._pending_center = None
+        self._center_hist.clear()
 
     def current_pose(self) -> np.ndarray:
         """Latest estimate (blocks until its computation completes)."""

@@ -162,7 +162,13 @@ def train_step(model, tx, cfg: TrainConfig, state: TrainState, key,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
-def eval_step(model, cfg: TrainConfig, state: TrainState, raw_batch, mean, std):
+def eval_step(model, cfg: TrainConfig, state: TrainState, raw_batch, mean,
+              std, n_valid=None):
+    """Validation loss. ``n_valid`` (traced scalar) masks padded samples:
+    the val loader pads its final partial batch up to ``batch_size`` so
+    every epoch reuses ONE compiled shape (a fresh shape per epoch-tail
+    would otherwise recompile), while the loss stays the exact mean over
+    the real samples."""
     bufA, bufB, t_label, r_label = preprocess_batch(
         jax.random.PRNGKey(0), raw_batch, mean, std, cfg, train=False
     )
@@ -170,11 +176,21 @@ def eval_step(model, cfg: TrainConfig, state: TrainState, raw_batch, mean, std):
         {"params": state.params, "batch_stats": state.batch_stats},
         bufA, bufB, train=False,
     )
-    total, parts = tracknet.loss_fn(
-        out["trans"], out["rot"], t_label, r_label,
-        cfg.trans_loss_weight, cfg.rot_loss_weight,
-    )
-    return {"loss": total, "trans": parts["trans"], "rot": parts["rot"]}
+    if n_valid is None:
+        total, parts = tracknet.loss_fn(
+            out["trans"], out["rot"], t_label, r_label,
+            cfg.trans_loss_weight, cfg.rot_loss_weight,
+        )
+        return {"loss": total, "trans": parts["trans"], "rot": parts["rot"]}
+    B = out["trans"].shape[0]
+    w = (jnp.arange(B) < n_valid).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    per_t = jnp.mean((out["trans"] - t_label) ** 2, axis=-1)
+    per_r = jnp.mean((out["rot"] - r_label) ** 2, axis=-1)
+    trans = jnp.sum(per_t * w) / denom
+    rot = jnp.sum(per_r * w) / denom
+    total = cfg.trans_loss_weight * trans + cfg.rot_loss_weight * rot
+    return {"loss": total, "trans": trans, "rot": rot}
 
 
 def compute_mean_std(
@@ -295,11 +311,18 @@ class Trainer:
         return float(metrics["loss"]) if metrics is not None else float("nan")
 
     def validate(self, batches) -> float:
-        losses = [
-            float(eval_step(self.model, self.cfg, self.state, raw,
-                            self.mean, self.std)["loss"])
-            for raw in batches
-        ]
+        """Unweighted mean of per-batch losses (the reference's statistic,
+        reference problems.py:106-132). Batches may carry an ``n_valid``
+        count (padded final batch, see eval_step)."""
+        losses = []
+        for raw in batches:
+            raw = dict(raw)
+            n_valid = raw.pop("n_valid", None)
+            if n_valid is not None:
+                n_valid = jnp.asarray(n_valid, jnp.int32)
+            losses.append(float(
+                eval_step(self.model, self.cfg, self.state, raw,
+                          self.mean, self.std, n_valid)["loss"]))
         return float(np.mean(losses)) if losses else np.inf
 
     def loop(self, epochs: int, train_batches, val_batches,

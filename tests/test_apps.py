@@ -102,6 +102,7 @@ def _run_predict(fixture_root, out, extra):
     return np.stack([np.loadtxt(out / p) for p in files])
 
 
+@pytest.mark.slow
 def test_predict_cli_modes_agree(fixture_root, tmp_path):
     """scan (chunked), stream (pipelined windowed), and ontrack (blocking
     parity loop) must produce the same trajectory."""
@@ -115,6 +116,7 @@ def test_predict_cli_modes_agree(fixture_root, tmp_path):
     np.testing.assert_allclose(stream, ontrack, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_predict_cli_scan_reinit(fixture_root, tmp_path):
     """--reinit_frames works in scan mode by segmenting the chunked scan
     at the re-init frame (round-1 fell back to the slow stream path)."""
@@ -144,6 +146,7 @@ def test_predict_cli_scan_reinit(fixture_root, tmp_path):
     assert dt <= np.sqrt(3) * 0.03 + 1e-6
 
 
+@pytest.mark.slow
 def test_predict_cli_visual_outputs(fixture_root, tmp_path):
     """--viz_dir / --save_video / --canvas_dir write the reference's
     visual artifacts (reference predict.py:403,424-433,284-291)."""
@@ -165,6 +168,7 @@ def test_predict_cli_visual_outputs(fixture_root, tmp_path):
     assert img.shape == (RES, RES * 2 + 10, 3)
 
 
+@pytest.mark.slow
 def test_predict_cli_ycbineoat(fixture_root, tmp_path):
     from iros20_6d_pose_tracking_tpu.apps import predict
 
@@ -192,6 +196,7 @@ def test_predict_cli_ycbineoat(fixture_root, tmp_path):
     assert len([p for p in os.listdir(out) if p.endswith(".txt")]) == 4
 
 
+@pytest.mark.slow
 def test_train_cli_synthetic(fixture_root, tmp_path):
     from iros20_6d_pose_tracking_tpu.apps import train as train_app
 
@@ -231,6 +236,7 @@ def test_train_cli_synthetic(fixture_root, tmp_path):
     assert t.cfg.resolution == RES
 
 
+@pytest.mark.slow
 def test_datagen_cli_dr(fixture_root, tmp_path):
     from iros20_6d_pose_tracking_tpu.apps import datagen
 

@@ -1,5 +1,6 @@
 """Augmentation pipeline tests (bounds, masks, determinism, batch vmap)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +60,7 @@ def test_depth_missing_only_drops_valid():
     assert (out == 0).sum() > 0
 
 
+@pytest.mark.slow
 def test_batch_augment_shapes_and_determinism():
     rgb, depth, mask = _sample()
     rgbB = jnp.stack([rgb] * 4)

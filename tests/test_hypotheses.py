@@ -1,5 +1,6 @@
 """Multi-hypothesis tracking + track-health tests."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def test_health_tolerates_occlusion():
     assert score > 0.85, score  # occluded pixels excluded from denominator
 
 
+@pytest.mark.slow
 def test_multi_hypothesis_selects_better_pose():
     """With a zeroed network (identity update), the winner must be the
     hypothesis closest to the truth — here the unperturbed pose 0 when

@@ -40,6 +40,7 @@ def test_mesh_construction():
     assert mesh.axis_names == ("obj", "dp")
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     """DP-sharded step must produce the same loss/params as unsharded."""
     mesh = spmd.make_mesh(8, obj=1)
@@ -65,6 +66,7 @@ def test_dp_train_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ensemble_train_step():
     """Two independent object models train in one jitted SPMD step."""
     mesh = spmd.make_mesh(8, obj=2)
@@ -92,12 +94,94 @@ def test_ensemble_train_step():
     assert not np.allclose(np.asarray(k)[0], np.asarray(k)[1])
 
 
+@pytest.mark.slow
+def test_ensemble_step_matches_per_object_single_device():
+    """ensemble (obj=2) x dp=4 must reproduce each object's single-device
+    gradients: the vmap over objects and the within-object gradient
+    all-reduce may not change the math (GSPMD regression guard).
+
+    Uses SGD so new_params = params - lr * grad exposes the gradient
+    directly (Adam's step-1 update is ~sign(grad) * lr, which amplifies
+    f32 reduction-order noise on near-zero grads into full lr flips)."""
+    import optax
+
+    mesh = spmd.make_mesh(8, obj=2)
+    dp = 4
+    cfg = _cfg(batch=dp)
+    model = tracknet.Se3TrackNet(image_size=RES)
+    tx = optax.sgd(0.01)
+    states = [tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(i))
+              for i in range(2)]
+    rng = np.random.RandomState(7)
+    raw = _raw(rng, 2, dp)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    mean, std = jnp.zeros(8), jnp.full(8, 100.0)
+
+    # reference: each object stepped alone on one device
+    ref = [tr.train_step(model, tx, cfg, states[i], keys[i],
+                         jax.tree.map(lambda x: x[i], raw), mean, std)
+           for i in range(2)]
+
+    states2 = [tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(i))
+               for i in range(2)]
+    ens = spmd.shard_pytree(spmd.stack_states(states2), mesh, "obj")
+    step = spmd.ensemble_train_step(model, tx, cfg, mesh)
+    with mesh:
+        new_ens, metrics = step(ens, keys, raw, mean, std)
+
+    loss = np.asarray(metrics["loss"])
+    for i in range(2):
+        np.testing.assert_allclose(loss[i], float(ref[i][1]["loss"]),
+                                   rtol=1e-5)
+    ens_flat = jax.tree.leaves(new_ens.params)
+    for i in range(2):
+        for el, rl in zip(ens_flat, jax.tree.leaves(ref[i][0].params)):
+            np.testing.assert_allclose(np.asarray(el)[i], np.asarray(rl),
+                                       atol=1e-5)
+
+
+@pytest.mark.slow
+def test_output_shardings_pinned():
+    """Output layouts are contracts: dp params stay fully replicated,
+    ensemble params stay 'obj'-sharded on the leading axis."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = _cfg(batch=8)
+    model = tracknet.Se3TrackNet(image_size=RES)
+    tx, _ = tr.make_optimizer(cfg, steps_per_epoch=100)
+    rng = np.random.RandomState(0)
+    mean, std = jnp.zeros(8), jnp.full(8, 100.0)
+
+    mesh = spmd.make_mesh(8, obj=1)
+    state = tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+    with mesh:
+        s_dp, _ = spmd.dp_train_step(model, tx, cfg, mesh)(
+            state, jax.random.PRNGKey(1), _raw(rng, 8), mean, std)
+    for leaf in jax.tree.leaves(s_dp.params):
+        assert leaf.sharding.is_fully_replicated, leaf.sharding
+
+    mesh2 = spmd.make_mesh(8, obj=2)
+    cfg2 = _cfg(batch=4)
+    states = [tr.create_train_state(model, cfg2, tx, jax.random.PRNGKey(i))
+              for i in range(2)]
+    ens = spmd.shard_pytree(spmd.stack_states(states), mesh2, "obj")
+    with mesh2:
+        new_ens, _ = spmd.ensemble_train_step(model, tx, cfg2, mesh2)(
+            ens, jax.random.split(jax.random.PRNGKey(3), 2),
+            _raw(rng, 2, 4), mean, std)
+    for leaf in jax.tree.leaves(new_ens.params):
+        spec = leaf.sharding.spec
+        assert len(spec) >= 1 and spec[0] == "obj", leaf.sharding
+
+
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
 
@@ -106,6 +190,7 @@ def test_graft_entry_compiles():
     assert np.asarray(out).shape == (4, 4)
 
 
+@pytest.mark.slow
 def test_multi_object_track_videos():
     """Two objects with different meshes/widths tracked in one SPMD
     program over the ('obj', 'dp') mesh."""

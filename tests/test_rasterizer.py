@@ -1,5 +1,6 @@
 """Rasterizer golden tests against analytic geometry (no GL oracle needed)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +39,7 @@ def test_cube_face_on_depth():
     assert rgb[0, 0].max() == 0      # background
 
 
+@pytest.mark.slow
 def test_sphere_depth_analytic():
     sph = Rz.upload(M.make_icosphere(subdiv=4, radius=0.05))
     pose = _pose([0.02, -0.01, 0.6])
@@ -133,6 +135,7 @@ def test_vmap_over_poses():
     assert np.array(depths[0]).max() > 0
 
 
+@pytest.mark.slow
 def test_skip_blocks_equals_noskip():
     sph = Rz.upload(M.make_icosphere(subdiv=3, radius=0.04))
     pose = _pose([0.02, 0.01, 0.5], (0.2, -0.4, 0.3))

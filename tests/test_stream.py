@@ -6,6 +6,7 @@ bounded-memory video tracking vs the whole-video scan, and mid-stream
 re-initialization.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +78,7 @@ def test_pack_window_roundtrip():
     np.testing.assert_array_equal(rec, depth)
 
 
+@pytest.mark.slow
 def test_stream_window_matches_full_frame():
     """Windowed-packed streaming == full-frame tracking while the ROI
     stays inside the window (the offset math must be exact)."""
@@ -103,6 +105,7 @@ def test_stream_window_matches_full_frame():
     assert s._bucket(s._side_px) < min(H, W)
 
 
+@pytest.mark.slow
 def test_stream_full_frame_mode():
     pose = np.eye(4, dtype=np.float32)
     pose[:3, 3] = [0.0, 0.0, 0.5]
@@ -116,6 +119,7 @@ def test_stream_full_frame_mode():
     assert np.isfinite(s.current_pose()).all()
 
 
+@pytest.mark.slow
 def test_stream_set_pose_reinit():
     """set_pose mid-stream == restarting from that pose (reference
     predict.py:539-541 --reinit_frames)."""
@@ -139,6 +143,7 @@ def test_stream_set_pose_reinit():
     np.testing.assert_allclose(after, s2.poses()[-1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_matches_whole_scan():
     """Chunked streaming scan (padded last chunk) == one whole-video scan."""
     pose = np.eye(4, dtype=np.float32)
@@ -153,6 +158,7 @@ def test_chunked_matches_whole_scan():
     np.testing.assert_allclose(chunked, whole, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_callable_sources():
     """Lazy per-chunk decode path (file-backed videos)."""
     pose = np.eye(4, dtype=np.float32)

@@ -49,6 +49,34 @@ def test_synth_batch_contents(synth):
     assert np.abs(np.array(r)).max() <= 1.0 + 1e-3
 
 
+@pytest.mark.slow
+def test_eval_step_padded_matches_unpadded(synth):
+    """Padding the epoch-tail val batch (one compiled shape per epoch)
+    must not change the reported loss: eval_step masks padded samples."""
+    cfg = _quick_cfg(batch_size=4)
+    model = tracknet.Se3TrackNet(image_size=RES)
+    tx, _ = tr.make_optimizer(cfg, steps_per_epoch=10)
+    state = tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+    raw = synth.sample_batch(jax.random.PRNGKey(1), 4)
+    small = jax.tree.map(lambda x: x[:3], raw)
+    padded = jax.tree.map(
+        lambda x: np.concatenate([x[:3], x[:1]], axis=0), raw)
+
+    mean = jnp.zeros(8)
+    std = jnp.full(8, 100.0)
+    ref = tr.eval_step(model, cfg, state, small, mean, std)
+    got = tr.eval_step(model, cfg, state, padded, mean, std,
+                       jnp.asarray(3, jnp.int32))
+    np.testing.assert_allclose(float(got["loss"]), float(ref["loss"]),
+                               rtol=1e-5)
+    # Full batch with n_valid == B reproduces the unmasked loss too.
+    full = tr.eval_step(model, cfg, state, raw, mean, std,
+                        jnp.asarray(4, jnp.int32))
+    base = tr.eval_step(model, cfg, state, raw, mean, std)
+    np.testing.assert_allclose(float(full["loss"]), float(base["loss"]),
+                               rtol=1e-5)
+
+
 def test_lr_schedule_multistep():
     cfg = _quick_cfg(milestones=(2, 4), gamma=0.1, learning_rate=1e-3)
     _, sched = tr.make_optimizer(cfg, steps_per_epoch=10)
@@ -57,6 +85,7 @@ def test_lr_schedule_multistep():
     assert np.isclose(float(sched(45)), 1e-5)
 
 
+@pytest.mark.slow
 def test_mean_std_quirk(synth):
     cfg = _quick_cfg()
     raws = [synth.sample_batch(jax.random.PRNGKey(i), 8) for i in range(3)]
@@ -67,6 +96,7 @@ def test_mean_std_quirk(synth):
     assert mean[:3].mean() > 1.0  # rgb channels have mass
 
 
+@pytest.mark.slow
 def test_loss_decreases_and_resume(tmp_path, synth):
     cfg = _quick_cfg(learning_rate=3e-4)
     model = tracknet.Se3TrackNet(image_size=RES)
