@@ -20,9 +20,17 @@ import numpy as np
 
 
 class TrackerRosCore:
-    """ROS-independent core: frame buffers + per-frame update."""
+    """ROS-independent core: frame buffers + per-frame update.
 
-    def __init__(self, tracker, fill_depth_holes: bool = True):
+    ``use_stream=True`` (default) runs the windowed pipelined
+    StreamTracker path: uint8 sub-window uploads and a device-resident
+    pose (tracking/stream.py) — the 120+ Hz live loop from bench.py.
+    ``use_stream=False`` keeps the reference-shaped blocking
+    ``Tracker.on_track`` call (reference predict_ros.py:48-66).
+    """
+
+    def __init__(self, tracker, fill_depth_holes: bool = True,
+                 use_stream: bool = True):
         from ..ops import depthproc
 
         self.tracker = tracker
@@ -31,9 +39,14 @@ class TrackerRosCore:
         self.color = None
         self.depth = None
         self.prev_pose = None
+        self.stream = None
+        if use_stream:
+            from ..tracking.stream import StreamTracker
+
+            self.stream = StreamTracker(tracker)
 
     def grab_color(self, rgb: np.ndarray):
-        self.color = rgb
+        self.color = np.asarray(rgb)
 
     def grab_depth(self, depth_m: np.ndarray):
         """Depth in metres; holes optionally filled (reference
@@ -46,17 +59,26 @@ class TrackerRosCore:
 
     def set_init_pose(self, pose: np.ndarray):
         self.prev_pose = np.asarray(pose, np.float64)
+        if self.stream is not None:
+            self.stream.begin(self.prev_pose)
 
     def on_track(self):
         """One update; returns the new 4x4 pose or None if not ready
         (reference predict_ros.py:48-66)."""
         if self.color is None or self.depth is None or self.prev_pose is None:
             return None
-        pose = self.tracker.on_track(
-            self.prev_pose, self.color.astype(np.float32),
-            (self.depth * 1000.0).astype(np.float32),
-            gt_A_in_cam=np.eye(4), gt_B_in_cam=np.eye(4),
-        )
+        if self.stream is not None:
+            rgb_u8 = self.color if self.color.dtype == np.uint8 \
+                else np.clip(self.color, 0, 255).astype(np.uint8)
+            self.stream.push(rgb_u8,
+                             (self.depth * 1000.0).astype(np.uint16))
+            pose = self.stream.current_pose().astype(np.float64)
+        else:
+            pose = self.tracker.on_track(
+                self.prev_pose, self.color,
+                (self.depth * 1000.0).astype(np.float32),
+                gt_A_in_cam=np.eye(4), gt_B_in_cam=np.eye(4),
+            )
         self.prev_pose = pose
         return pose
 
