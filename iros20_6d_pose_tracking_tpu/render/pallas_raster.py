@@ -116,7 +116,17 @@ def _kernel(bbox_ref, coef_ref, iz_ref, idx_ref, *,
     kernel over the VMEM-resident (12, F) coefficient matrix. This keeps
     the per-block skip essentially free: a skipped block costs one SMEM
     bbox test, not a grid step + block DMA. The whole coefficient matrix
-    is a few hundred KB for typical meshes — far under VMEM."""
+    is a few hundred KB for typical meshes — far under VMEM.
+
+    Winner search uses a PACKED KEY: positive IEEE-754 floats order the
+    same as their bit patterns, so ``(iz_bits & ~lane_mask) | lane`` is a
+    single int whose max is simultaneously the depth test and the argmax —
+    ONE cross-lane reduction per block instead of a max-reduce plus a
+    compare/select/min-reduce. The stolen low mantissa bits cost < 2^-13
+    relative depth (~0.1 mm at 0.6 m), and only in the *comparison*:
+    pass 2 recomputes exact depth from the winner's linear form."""
+    assert face_block & (face_block - 1) == 0, "face_block must be 2^n"
+    lane_mask = face_block - 1
     i = pl.program_id(0)
     first_q = i * pix_tile
     # Tile's pixel-row range for the bbox skip test.
@@ -128,7 +138,7 @@ def _kernel(bbox_ref, coef_ref, iz_ref, idx_ref, *,
     lanes = jax.lax.broadcasted_iota(jnp.int32, (pix_tile, face_block), 1)
 
     def block(j, carry):
-        acc_iz, acc_idx = carry
+        acc_key, acc_idx = carry
         xmin = bbox_ref[j, 0]
         xmax = bbox_ref[j, 1]
         ymin = bbox_ref[j, 2]
@@ -137,7 +147,7 @@ def _kernel(bbox_ref, coef_ref, iz_ref, idx_ref, *,
                & (ymax >= y0) & (ymin <= y1))
 
         def body(carry):
-            acc_iz, acc_idx = carry
+            acc_key, acc_idx = carry
             s = pl.multiple_of(j * face_block, face_block)
 
             def form(row):
@@ -150,27 +160,30 @@ def _kernel(bbox_ref, coef_ref, iz_ref, idx_ref, *,
             e1 = form(ROW_A1)
             e2 = form(ROW_A2)
             izp = form(ROW_AW)
-            covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
-            zc = jnp.where(covered & (izp > 0.0), izp, -1.0)
-            best = jnp.max(zc, axis=1, keepdims=True)  # (TP, 1)
-            arg = jnp.min(
-                jnp.where(zc >= best, lanes, face_block), axis=1,
-                keepdims=True,
-            )
-            better = best > acc_iz
+            covered = (jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0) \
+                & (izp > 0.0)
+            bits = jax.lax.bitcast_convert_type(izp, jnp.int32)
+            key = jnp.where(covered, (bits & ~lane_mask) | lanes,
+                            jnp.int32(-1))
+            best = jnp.max(key, axis=1, keepdims=True)  # (TP, 1), ONE reduce
+            better = best > acc_key
             return (
-                jnp.where(better, best, acc_iz),
-                jnp.where(better, arg + j * face_block, acc_idx),
+                jnp.where(better, best, acc_key),
+                jnp.where(better, (best & lane_mask) + j * face_block,
+                          acc_idx),
             )
 
-        return jax.lax.cond(hit, body, lambda c: c, (acc_iz, acc_idx))
+        return jax.lax.cond(hit, body, lambda c: c, (acc_key, acc_idx))
 
     init = (
-        jnp.full((pix_tile, 1), -1.0, jnp.float32),
+        jnp.full((pix_tile, 1), -1, jnp.int32),
         jnp.zeros((pix_tile, 1), jnp.int32),
     )
-    acc_iz, acc_idx = jax.lax.fori_loop(0, n_blocks, block, init)
-    iz_ref[:] = acc_iz
+    acc_key, acc_idx = jax.lax.fori_loop(0, n_blocks, block, init)
+    iz_ref[:] = jnp.where(
+        acc_key < 0, jnp.float32(-1.0),
+        jax.lax.bitcast_convert_type(acc_key & ~lane_mask, jnp.float32),
+    )
     idx_ref[:] = acc_idx
 
 
@@ -286,13 +299,16 @@ def build_worklist(block_bbox, hw, pix_tile, width):
 def _wl_kernel(tile_ids, block_ids, init_flags, valid_flags,
                coef_ref, iz_in, idx_in, iz_ref, idx_ref, *,
                pix_tile, face_block, width):
+    """Work-list variant of the packed-key winner search (see _kernel);
+    the int32 accumulator ref holds the packed key directly."""
+    lane_mask = face_block - 1
     k = pl.program_id(0)
     tile = tile_ids[k]
     blk = block_ids[k]
 
     @pl.when(init_flags[k] == 1)
     def _():
-        iz_ref[:] = jnp.full_like(iz_ref, -1.0)
+        iz_ref[:] = jnp.full_like(iz_ref, -1)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
     @pl.when(valid_flags[k] == 1)
@@ -313,15 +329,16 @@ def _wl_kernel(tile_ids, block_ids, init_flags, valid_flags,
         e1 = form(ROW_A1)
         e2 = form(ROW_A2)
         izp = form(ROW_AW)
-        covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
-        zc = jnp.where(covered & (izp > 0.0), izp, -1.0)
-        best = jnp.max(zc, axis=1, keepdims=True)
+        covered = (jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0) \
+            & (izp > 0.0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (pix_tile, face_block), 1)
-        arg = jnp.min(jnp.where(zc >= best, lanes, face_block), axis=1,
-                      keepdims=True)
+        bits = jax.lax.bitcast_convert_type(izp, jnp.int32)
+        key = jnp.where(covered, (bits & ~lane_mask) | lanes, jnp.int32(-1))
+        best = jnp.max(key, axis=1, keepdims=True)
         better = best > iz_ref[:]
         iz_ref[:] = jnp.where(better, best, iz_ref[:])
-        idx_ref[:] = jnp.where(better, arg + blk * face_block, idx_ref[:])
+        idx_ref[:] = jnp.where(better, (best & lane_mask) + blk * face_block,
+                               idx_ref[:])
 
 
 def pallas_pass1_worklist(coef, block_bbox, hw: tuple[int, int],
@@ -349,12 +366,14 @@ def pallas_pass1_worklist(coef, block_bbox, hw: tuple[int, int],
     )
     max_work = int(tiles.shape[0])
 
+    assert face_block & (face_block - 1) == 0, "face_block must be 2^n"
     kernel = functools.partial(
         _wl_kernel, pix_tile=pix_tile, face_block=face_block, width=W,
     )
-    # Pre-zeroed outputs double as accumulators via input_output_aliases,
-    # covering tiles that never appear in the work list.
-    iz0 = jnp.full((P_pad, 1), -1.0, jnp.float32)
+    # Pre-initialized outputs double as accumulators via
+    # input_output_aliases, covering tiles that never appear in the work
+    # list. The f32 accumulator is the int32 packed key.
+    iz0 = jnp.full((P_pad, 1), -1, jnp.int32)
     idx0 = jnp.zeros((P_pad, 1), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -373,14 +392,19 @@ def pallas_pass1_worklist(coef, block_bbox, hw: tuple[int, int],
                          memory_space=pltpu.VMEM),
         ],
     )
-    iz, idx = pl.pallas_call(
+    key, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((P_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((P_pad, 1), jnp.int32),
         ],
         input_output_aliases={5: 0, 6: 1},  # (4 scalars + coef) offsets
         interpret=interpret,
     )(tiles, blocks, first, valid, coef, iz0, idx0)
+    lane_mask = face_block - 1
+    iz = jnp.where(
+        key < 0, jnp.float32(-1.0),
+        jax.lax.bitcast_convert_type(key & ~lane_mask, jnp.float32),
+    )
     return iz[:P, 0].reshape(H, W), idx[:P, 0].reshape(H, W)

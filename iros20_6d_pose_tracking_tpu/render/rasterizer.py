@@ -255,9 +255,13 @@ def _face_attr_coefficients(fx, fy, fiz, fvalid, mesh: MeshArrays):
 
 
 def _pass2_shade(mesh: MeshArrays, R, t, attr_coef, zmin, winner, hit,
-                 out_hw):
+                 out_hw, depth_from_form: bool = False):
     """Shade the winning triangle per pixel from its linear attribute
-    forms: one row gather + FMAs per pixel."""
+    forms: one row gather + FMAs per pixel.
+
+    ``depth_from_form``: take metric depth from the winner's exact
+    1/z linear form instead of ``zmin`` (used by the Pallas path, whose
+    pass-1 z-test trades the low mantissa bits for a packed argmax)."""
     H, W = out_hw
     winner_f = winner.reshape(-1)
     zmin_f = zmin.reshape(-1)
@@ -295,7 +299,8 @@ def _pass2_shade(mesh: MeshArrays, R, t, attr_coef, zmin, winner, hit,
     shade = jnp.clip(albedo * (AMBIENT + DIFFUSE * ndotl)[:, None], 0.0, 1.0)
 
     rgb = jnp.where(hit_f[:, None], shade * 255.0, 0.0).reshape(H, W, 3)
-    depth_mm = jnp.where(hit_f, zmin_f * 1000.0, 0.0).reshape(H, W)
+    depth_src = inv_iz if depth_from_form else zmin_f
+    depth_mm = jnp.where(hit_f, depth_src * 1000.0, 0.0).reshape(H, W)
     return rgb, depth_mm
 
 
@@ -357,7 +362,8 @@ def render(
         raise ValueError(f"unknown impl {impl!r}")
 
     attr_coef = _face_attr_coefficients(fx, fy, fiz, fvalid, mesh)
-    return _pass2_shade(mesh, R, t, attr_coef, zmin, winner, hit, out_hw)
+    return _pass2_shade(mesh, R, t, attr_coef, zmin, winner, hit, out_hw,
+                        depth_from_form=impl.startswith("pallas"))
 
 
 def render_at_bbox(
