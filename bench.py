@@ -68,6 +68,8 @@ def build(res=176):
         params[head]["kernel"] = params[head]["kernel"] * 0.0
         params[head]["bias"] = params[head]["bias"] * 0.0
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
+    # cull_backfaces is a wash at this face count (the compaction argsort
+    # costs what the skipped blocks save); it pays off on bigger meshes.
     cfg = trk.TrackerConfig(
         resolution=res, object_width_mm=tm.diameter * 1000 * 1.1,
         render_impl="pallas",

@@ -304,9 +304,25 @@ def _pass2_shade(mesh: MeshArrays, R, t, attr_coef, zmin, winner, hit,
     return rgb, depth_mm
 
 
+def _backface_mask(mesh: MeshArrays, R, t) -> jax.Array:
+    """(F,) True for faces that cannot be the closest visible surface of a
+    closed mesh viewed from outside: the GEOMETRIC face normal (cross of
+    camera-space edges, orientation fixed by the stored outward shading
+    normals, so mesh winding doesn't matter) points away from the camera.
+    Degenerate faces and zero shading normals give sign 0 -> kept (safe)."""
+    v_cam = jnp.einsum("fkj,ij->fki", mesh.fverts, R, precision=_PREC) + t
+    gn = jnp.cross(v_cam[:, 1] - v_cam[:, 0], v_cam[:, 2] - v_cam[:, 0])
+    n_avg = jnp.einsum("fj,ij->fi", mesh.fnormals.mean(axis=1), R,
+                       precision=_PREC)
+    gn = gn * jnp.sign(jnp.sum(gn * n_avg, axis=-1, keepdims=True))
+    centroid = v_cam.mean(axis=1)
+    return jnp.sum(gn * centroid, axis=-1) > 0.0
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "face_block", "skip_blocks", "impl"),
+    static_argnames=("out_hw", "face_block", "skip_blocks", "impl",
+                     "cull_backfaces"),
 )
 def render(
     mesh: MeshArrays,
@@ -319,6 +335,7 @@ def render(
     face_block: int = FACE_BLOCK,
     skip_blocks: bool = True,
     impl: str = "xla",
+    cull_backfaces: bool = False,
 ):
     """Render the mesh at ``pose`` (CV camera frame) into the ROI window.
 
@@ -332,12 +349,27 @@ def render(
       out_hw: static (H, W) output resolution.
       impl: 'xla' (jnp reference), 'pallas' (TPU kernel), or
         'pallas_interpret' (kernel in interpreter mode, for CPU tests).
+      cull_backfaces: compact away faces whose oriented geometric normal
+        points away from the camera before pass 1 — output-identical for
+        closed meshes viewed from outside (roughly halves pass-1 work;
+        Morton order keeps the survivors block-coherent). Leave False for
+        open/self-intersecting geometry. Pallas path only.
 
     Returns:
       rgb: (H, W, 3) float32 in [0, 255]
       depth_mm: (H, W) float32 metric depth in millimetres (0 = no hit)
     """
     fx, fy, fiz, fvalid, R, t = _project(mesh, pose, K, window, out_hw, near)
+    # Attribute forms always index ORIGINAL face ids (winners are remapped
+    # through the cull permutation below).
+    attr_coef = _face_attr_coefficients(fx, fy, fiz, fvalid, mesh)
+
+    perm = None
+    if cull_backfaces and impl.startswith("pallas"):
+        keep = fvalid & ~_backface_mask(mesh, R, t)
+        perm = jnp.argsort(~keep, stable=True).astype(jnp.int32)
+        fx, fy, fiz = fx[perm], fy[perm], fiz[perm]
+        fvalid = keep[perm]
 
     if impl == "xla":
         zmin, winner = _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block,
@@ -361,7 +393,8 @@ def render(
     else:
         raise ValueError(f"unknown impl {impl!r}")
 
-    attr_coef = _face_attr_coefficients(fx, fy, fiz, fvalid, mesh)
+    if perm is not None:
+        winner = perm[winner]
     return _pass2_shade(mesh, R, t, attr_coef, zmin, winner, hit, out_hw,
                         depth_from_form=impl.startswith("pallas"))
 

@@ -52,6 +52,8 @@ class TrackerConfig:
     far: float = rz.FAR_M
     dtype: Any = jnp.float32                # bf16 on TPU for the CNN
     render_impl: str = "xla"                # 'pallas' on TPU hardware
+    cull_backfaces: bool = False            # True for closed CAD meshes:
+                                            # ~halves pass-1 raster work
 
 
 def pack_channels(rgb, depth):
@@ -132,7 +134,7 @@ def track_step(
     window = rz.window_from_bbox(bbox)
     rgbA, depthA = rz.render(
         mesh, prev_pose, K, window, out_hw=res, near=cfg.near, far=cfg.far,
-        impl=cfg.render_impl,
+        impl=cfg.render_impl, cull_backfaces=cfg.cull_backfaces,
     )
     bufA, bufB = normalize_pair(rgbA, depthA, rgbB, depthB, prev_pose, mean, std)
     out = model.apply(variables, bufA[None], bufB[None], train=False)
@@ -199,6 +201,7 @@ def roi_views(
     rgbA, depthA = rz.render(
         mesh, pose, K, rz.window_from_bbox(bbox), out_hw=res,
         near=cfg.near, far=cfg.far, impl=cfg.render_impl,
+        cull_backfaces=cfg.cull_backfaces,
     )
     return rgbA, depthA, rgbB.astype(jnp.float32), depthB.astype(jnp.float32)
 

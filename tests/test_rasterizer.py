@@ -175,6 +175,26 @@ def test_pallas_pass1_cube_roi():
     np.testing.assert_allclose(np.array(rgb2), np.array(rgb1), atol=2.0)
 
 
+def test_backface_cull_output_identical():
+    """Culling compacted backfaces must not change a single pixel for a
+    closed mesh viewed from outside (sphere AND cube; exercises the
+    winner remap through the cull permutation)."""
+    for tm in (M.make_icosphere(subdiv=3, radius=0.04), M.make_cube(0.08)):
+        mesh = Rz.upload(tm)
+        pose = _pose([0.03, 0.02, 0.55], (0.4, -0.2, 0.3))
+        win = (150.0, 450.0, 100.0, 400.0)
+        rgb0, d0 = Rz.render(mesh, pose, jnp.array(K), win, out_hw=(96, 96),
+                             impl="pallas_interpret", cull_backfaces=False)
+        rgb1, d1 = Rz.render(mesh, pose, jnp.array(K), win, out_hw=(96, 96),
+                             impl="pallas_interpret", cull_backfaces=True)
+        # At silhouette z-ties an edge-on backface can co-win with the
+        # front face at identical depth; allow micron-scale differences.
+        np.testing.assert_allclose(np.array(d1), np.array(d0), atol=0.01)
+        bad = np.abs(np.array(rgb1) - np.array(rgb0)).max(axis=-1) > 2.0
+        assert bad.mean() < 1e-3, f"{bad.sum()} rgb pixels changed"
+        assert (np.array(d1) > 0).sum() > 100
+
+
 def test_worklist_kernel_matches_default():
     """The compacted work-list pass-1 variant is semantically identical."""
     from iros20_6d_pose_tracking_tpu.render import pallas_raster as pr
