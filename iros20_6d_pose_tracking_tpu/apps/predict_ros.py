@@ -43,7 +43,9 @@ class TrackerRosCore:
         if use_stream:
             from ..tracking.stream import StreamTracker
 
-            self.stream = StreamTracker(tracker)
+            # keep_history=False: a robot session is unbounded; retaining
+            # one device pose per frame would leak buffers.
+            self.stream = StreamTracker(tracker, keep_history=False)
 
     def grab_color(self, rgb: np.ndarray):
         self.color = np.asarray(rgb)

@@ -266,13 +266,24 @@ def _pass2_shade(mesh: MeshArrays, R, t, attr_coef, zmin, winner, hit,
     winner_f = winner.reshape(-1)
     zmin_f = zmin.reshape(-1)
     hit_f = hit.reshape(-1)
+    row = jnp.take(attr_coef, winner_f, axis=0)  # (P, 30)
+    return shade_rows(R, t, row, zmin_f, hit_f, out_hw,
+                      depth_from_form=depth_from_form)
+
+
+def shade_rows(R, t, row, zmin_f, hit_f, out_hw,
+               depth_from_form: bool = False):
+    """Shading math on pre-gathered per-pixel attribute rows (P, 30).
+    Split out of _pass2_shade so the face-sharded SPMD renderer
+    (parallel/latency.py) can psum the gathered rows across shards and
+    shade locally."""
+    H, W = out_hw
     gx = jnp.arange(W, dtype=jnp.float32)
     gy = jnp.arange(H, dtype=jnp.float32)
     pxg, pyg = jnp.meshgrid(gx, gy)
     pix_x = pxg.reshape(-1)
     pix_y = pyg.reshape(-1)
 
-    row = jnp.take(attr_coef, winner_f, axis=0)  # (P, 30)
     izpix = row[:, 0] * pix_x + row[:, 1] * pix_y + row[:, 2]
     inv_iz = 1.0 / jnp.maximum(izpix, 1e-9)
 

@@ -69,7 +69,8 @@ class StreamTracker:
     """
 
     def __init__(self, tracker, window: bool = True, margin: float = 1.45,
-                 refetch_every: int = 8, pose_lag: int | None = None):
+                 refetch_every: int = 8, pose_lag: int | None = None,
+                 keep_history: bool = True):
         self.t = tracker
         self.window = window
         self.margin = margin
@@ -79,6 +80,9 @@ class StreamTracker:
         # refetch_every + the fetch round-trip (a few frames). The window
         # margin must absorb that many frames of object motion.
         self.refetch_every = max(1, refetch_every)
+        # keep_history=False for unbounded live runs (e.g. the ROS node):
+        # per-frame device poses are not retained, only the latest.
+        self.keep_history = keep_history
         del pose_lag  # kept for API compat; superseded by the fetch thread
         self._K_np = np.asarray(tracker.K)
         self._pose_dev = None
@@ -250,7 +254,8 @@ class StreamTracker:
                 self._pose_dev, packed, self._offset_dev(top, left),
             )
         self._pose_dev = new_pose
-        self._poses.append(new_pose)
+        if self.keep_history:
+            self._poses.append(new_pose)
         self._frame_idx += 1
 
     def set_pose(self, pose: np.ndarray) -> None:

@@ -175,6 +175,58 @@ def test_output_shardings_pinned():
 
 
 @pytest.mark.slow
+def test_sp_sharded_render_and_step_match_single_device():
+    """Face-sharded (SP) render + track step over the 8-device mesh must
+    reproduce the single-device path: the pmax z-test / argmax and the
+    psum'd attribute rows may not change a pixel or the pose."""
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.parallel import latency as lat
+    from iros20_6d_pose_tracking_tpu.render import mesh as M
+    from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+    from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+    from iros20_6d_pose_tracking_tpu.ops import roi as roi_ops
+
+    res = 48
+    K = jnp.array([[200.0, 0, 24.0], [0, 200.0, 24.0], [0, 0, 1.0]])
+    pose = jnp.eye(4).at[2, 3].set(0.5)
+    tm = M.make_cube(0.08)
+    mesh_single = rz.upload(tm)
+    spm = lat.sp_mesh(8)
+    smesh = lat.shard_mesh_faces(mesh_single, spm)
+    cfg = trk.TrackerConfig(resolution=res, object_width_mm=150.0)
+
+    bbox = roi_ops.compute_bbox(pose, K, cfg.object_width_mm,
+                                (1000.0, 1000.0, 1000.0))
+    rgb_ref, d_ref = rz.render(mesh_single, pose, K,
+                               rz.window_from_bbox(bbox), out_hw=(res, res))
+    with spm:
+        render = jax.jit(lat.sharded_render(cfg, spm))
+        rgb_sp, d_sp = render(smesh.fverts, smesh.fcolors, smesh.fnormals,
+                              smesh.fmask, pose, K, bbox)
+    np.testing.assert_allclose(np.asarray(d_sp), np.asarray(d_ref),
+                               atol=0.02)  # mm; z-tie winner slack
+    bad = np.abs(np.asarray(rgb_sp) - np.asarray(rgb_ref)).max(-1) > 2.0
+    assert bad.mean() < 2e-3
+    assert (np.asarray(d_sp) > 0).sum() > 100
+
+    # full step equivalence
+    model = tracknet.Se3TrackNet(image_size=res)
+    variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
+    frame_rgb, frame_depth = rz.render(
+        mesh_single, pose, K, rz.full_frame_window(48, 48), out_hw=(48, 48))
+    mean, std = jnp.zeros(8), jnp.full(8, 100.0)
+    ref_pose, _ = trk.track_step(model, cfg, variables, mesh_single, K,
+                                 mean, std, pose, frame_rgb, frame_depth)
+    with spm:
+        step = lat.sp_track_step(model, cfg, spm)
+        sp_pose = step(variables, smesh, K, mean, std, pose, frame_rgb,
+                       frame_depth)
+    np.testing.assert_allclose(np.asarray(sp_pose), np.asarray(ref_pose),
+                               atol=1e-5)
+
+
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

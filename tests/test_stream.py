@@ -119,6 +119,22 @@ def test_stream_full_frame_mode():
     assert np.isfinite(s.current_pose()).all()
 
 
+def test_stream_no_history_mode():
+    """keep_history=False (unbounded live runs) retains no per-frame
+    device poses but still tracks."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    t = _tracker()
+    rgbs, depths = _video(t, pose, 2)
+    s = st.StreamTracker(t, window=True, keep_history=False)
+    s.begin(pose, image_hw=(H, W))
+    for i in range(2):
+        s.push(rgbs[i], depths[i])
+    assert len(s._poses) == 1  # just the init
+    assert s.poses().shape == (0, 4, 4)
+    assert np.isfinite(s.current_pose()).all()
+
+
 @pytest.mark.slow
 def test_stream_set_pose_reinit():
     """set_pose mid-stream == restarting from that pose (reference
