@@ -187,6 +187,12 @@ def test_sp_sharded_render_and_step_match_single_device():
     from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
     from iros20_6d_pose_tracking_tpu.ops import roi as roi_ops
 
+    # Drain all devices first: a straggler collective from a previous
+    # test's ('obj','dp') program can deadlock this test's [0..8)
+    # rendezvous on the CPU backend (same guard as __graft_entry__).
+    for d in jax.devices():
+        np.asarray(jax.device_put(np.float32(0), d))
+
     res = 48
     K = jnp.array([[200.0, 0, 24.0], [0, 200.0, 24.0], [0, 0, 1.0]])
     pose = jnp.eye(4).at[2, 3].set(0.5)
