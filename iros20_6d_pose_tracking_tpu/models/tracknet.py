@@ -159,11 +159,26 @@ class Se3TrackNet(nn.Module):
 
 
 def loss_fn(pred_trans, pred_rot, target_trans, target_rot,
-            trans_weight: float = 1.0, rot_weight: float = 1.0):
+            trans_weight: float = 1.0, rot_weight: float = 1.0,
+            sample_weight=None):
     """MSE(trans) + MSE(rot), parity with reference se3_tracknet.py:114-121
-    weighted per reference problems.py:91 / config.yml loss_weights."""
-    trans_loss = jnp.mean((pred_trans.astype(jnp.float32) - target_trans) ** 2)
-    rot_loss = jnp.mean((pred_rot.astype(jnp.float32) - target_rot) ** 2)
+    weighted per reference problems.py:91 / config.yml loss_weights.
+
+    ``sample_weight`` (B,): optional per-sample mask/weights — the mean
+    becomes a weighted mean over samples (used to mask padded validation
+    batches; equals the plain mean when all weights are 1)."""
+    se_t = jnp.mean((pred_trans.astype(jnp.float32) - target_trans) ** 2,
+                    axis=-1)
+    se_r = jnp.mean((pred_rot.astype(jnp.float32) - target_rot) ** 2,
+                    axis=-1)
+    if sample_weight is None:
+        trans_loss = jnp.mean(se_t)
+        rot_loss = jnp.mean(se_r)
+    else:
+        w = sample_weight.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        trans_loss = jnp.sum(se_t * w) / denom
+        rot_loss = jnp.sum(se_r * w) / denom
     total = trans_weight * trans_loss + rot_weight * rot_loss
     return total, {"trans": trans_loss, "rot": rot_loss}
 

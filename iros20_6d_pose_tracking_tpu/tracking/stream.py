@@ -96,9 +96,13 @@ class StreamTracker:
         self._step_cache = {}             # window side -> jitted closure step
         self._fetcher = None              # lazy 1-thread executor
         self._fetch_busy = False
-        self._pending_center = None       # (frame_idx, (center_vu, side_px))
+        self._pending_center = None       # (gen, frame_idx, (center_vu, side))
         self._cur_bucket = None           # hysteresis state of _bucket
         self._center_hist: deque = deque(maxlen=2)  # (idx, vu) fetched centers
+        self._gen = 0                     # bumped by begin()/set_pose(): an
+                                          # in-flight fetch from a previous
+                                          # generation must not recenter
+                                          # the post-reinit window
 
     # -- host-side ROI geometry (numpy mirror of ops/roi.compute_bbox) --
     def _host_bbox(self, pose: np.ndarray):
@@ -107,7 +111,11 @@ class StreamTracker:
         z = max(float(obj[2]), 1e-3)
         u = float(obj[0]) * K[0, 0] / z + K[0, 2]
         v = float(obj[1]) * K[1, 1] / z + K[1, 2]
-        side = self.t.cfg.object_width_mm * K[0, 0] / z
+        # the ROI is object_width*fx wide and object_width*fy tall
+        # (compute_bbox projects with both focals); the square window must
+        # cover the LARGER extent or anisotropic intrinsics silently eat
+        # the margin.
+        side = self.t.cfg.object_width_mm * max(K[0, 0], K[1, 1]) / z
         return (v, u), side
 
     def _bucket(self, side_px: float) -> int:
@@ -127,6 +135,7 @@ class StreamTracker:
         self._pose_dev = jax.device_put(
             jnp.asarray(np.asarray(init_pose), jnp.float32))
         self._poses = [self._pose_dev]
+        self._gen += 1          # poison in-flight pre-begin fetches
         self._pending_center = None
         self._frame_idx = 0
         self._center_frame = 0
@@ -179,8 +188,8 @@ class StreamTracker:
         pending = self._pending_center
         if pending is not None:
             self._pending_center = None
-            idx, (vu, side) = pending
-            if idx >= self._center_frame:
+            gen, idx, (vu, side) = pending
+            if gen == self._gen and idx >= self._center_frame:
                 self._center_vu, self._side_px = vu, side
                 self._center_frame = idx
                 self._center_hist.append((idx, np.asarray(vu, np.float64)))
@@ -192,11 +201,11 @@ class StreamTracker:
                 self._fetcher = cf.ThreadPoolExecutor(
                     1, thread_name_prefix="stream-pose-fetch")
             self._fetch_busy = True
-            dev, idx = self._pose_dev, self._frame_idx
+            dev, idx, gen = self._pose_dev, self._frame_idx, self._gen
 
             def work():
                 try:
-                    self._pending_center = (idx, self._host_bbox(
+                    self._pending_center = (gen, idx, self._host_bbox(
                         np.asarray(dev)))
                 finally:
                     self._fetch_busy = False
@@ -265,6 +274,7 @@ class StreamTracker:
             jnp.asarray(np.asarray(pose), jnp.float32))
         self._center_vu, self._side_px = self._host_bbox(np.asarray(pose))
         self._center_frame = self._frame_idx
+        self._gen += 1          # poison in-flight pre-reinit fetches
         self._pending_center = None
         self._center_hist.clear()
 

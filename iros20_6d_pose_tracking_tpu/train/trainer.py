@@ -176,21 +176,16 @@ def eval_step(model, cfg: TrainConfig, state: TrainState, raw_batch, mean,
         {"params": state.params, "batch_stats": state.batch_stats},
         bufA, bufB, train=False,
     )
-    if n_valid is None:
-        total, parts = tracknet.loss_fn(
-            out["trans"], out["rot"], t_label, r_label,
-            cfg.trans_loss_weight, cfg.rot_loss_weight,
-        )
-        return {"loss": total, "trans": parts["trans"], "rot": parts["rot"]}
-    B = out["trans"].shape[0]
-    w = (jnp.arange(B) < n_valid).astype(jnp.float32)
-    denom = jnp.maximum(jnp.sum(w), 1.0)
-    per_t = jnp.mean((out["trans"] - t_label) ** 2, axis=-1)
-    per_r = jnp.mean((out["rot"] - r_label) ** 2, axis=-1)
-    trans = jnp.sum(per_t * w) / denom
-    rot = jnp.sum(per_r * w) / denom
-    total = cfg.trans_loss_weight * trans + cfg.rot_loss_weight * rot
-    return {"loss": total, "trans": trans, "rot": rot}
+    sample_weight = None
+    if n_valid is not None:
+        B = out["trans"].shape[0]
+        sample_weight = (jnp.arange(B) < n_valid).astype(jnp.float32)
+    total, parts = tracknet.loss_fn(
+        out["trans"], out["rot"], t_label, r_label,
+        cfg.trans_loss_weight, cfg.rot_loss_weight,
+        sample_weight=sample_weight,
+    )
+    return {"loss": total, "trans": parts["trans"], "rot": parts["rot"]}
 
 
 def compute_mean_std(

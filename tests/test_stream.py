@@ -119,6 +119,28 @@ def test_stream_full_frame_mode():
     assert np.isfinite(s.current_pose()).all()
 
 
+def test_stream_reinit_poisons_inflight_snapshot():
+    """A background pose fetch submitted BEFORE begin()/set_pose() must
+    not recenter the window after re-initialization (generation guard)."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    t = _tracker()
+    rgbs, depths = _video(t, pose, 1)
+    s = st.StreamTracker(t, window=True, refetch_every=1)
+    s.begin(pose, image_hw=(H, W))
+    old_gen = s._gen
+    s.begin(pose, image_hw=(H, W))
+    # a pre-reinit fetch lands late: stale generation, bogus center
+    s._pending_center = (old_gen, 999, ((0.0, 0.0), 50.0))
+    s.push(rgbs[0], depths[0])
+    assert s._center_frame == 0          # stale snapshot rejected
+    assert s._center_vu != (0.0, 0.0)
+    # a CURRENT-generation snapshot is accepted
+    s._pending_center = (s._gen, 1, ((5.0, 6.0), 60.0))
+    s.push(rgbs[0], depths[0])
+    assert s._center_frame == 1 and s._center_vu == (5.0, 6.0)
+
+
 def test_stream_no_history_mode():
     """keep_history=False (unbounded live runs) retains no per-frame
     device poses but still tracks."""
