@@ -22,13 +22,17 @@ Subpackages mirror the reference's logical layers (SURVEY.md section 1):
   core      se(3)/so(3) math, pose codec, camera models
   ops       ROI ops, image ops (cv2-compatible resize/blur/HSV), depth ops
   render    mesh IO + TPU rasterizer (jnp reference impl + Pallas kernel)
-  models    Se3TrackNet in Flax + PyTorch checkpoint import
-  tracking  fused jitted tracker (reference predict.py Tracker parity API)
+  models    Se3TrackNet in Flax + PyTorch checkpoint import/export
+  tracking  fused jitted tracker (reference predict.py Tracker parity API),
+            pipelined live StreamTracker (windowed uint8 uploads,
+            device-resident pose), chunked bounded-memory video scan,
+            multi-hypothesis + track-health
   data      pair dataset IO + augmentation pipeline
   train     trainer (Adam + MultiStep schedule), checkpoint/resume
   eval      ADD/ADD-S/VOCap metrics + YCB/YCBInEOAT drivers
   datagen   synthetic pair production (reference produce_train_pair_data.py)
-  parallel  device-mesh helpers, sharded train/track steps
+  parallel  device-mesh helpers, sharded train/track steps (dp x obj
+            ensembles; SP face-sharded low-latency render)
   apps      CLI entry points (predict / eval / train)
   native    C++ data-loading runtime (libpng decode pool, ctypes-bound)
 """
