@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# On low-core machines the PJRT CPU client sizes its worker pool from
+# nproc; with 1 worker, one virtual device's in-process collective blocks
+# the only thread and the other participants never run — XLA hard-aborts
+# the rendezvous after 40 s. PJRT_NPROC overrides the pool size so every
+# virtual device can make progress concurrently.
+if int(os.environ.get("PJRT_NPROC", "0") or 0) < 16:
+    os.environ["PJRT_NPROC"] = "16"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
