@@ -156,6 +156,69 @@ def bench_host_loop(b, n=300):
     return best
 
 
+def bench_train(b, batch=200, iters=10, res=176):
+    """Training throughput at the reference's batch size (200,
+    config.yml:19): fused jitted step = on-device augmentation +
+    normalize/codec + fwd/bwd + Adam update. Returns (samples/s, flops
+    of one step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.models import tracknet
+    from iros20_6d_pose_tracking_tpu.train import trainer as tr
+
+    cfg = tr.TrainConfig(resolution=res, batch_size=batch)
+    model = tracknet.Se3TrackNet(image_size=res)
+    tx, _ = tr.make_optimizer(cfg, steps_per_epoch=1000)
+    state = tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    poses[:, 2, 3] = 0.6
+    raw = {
+        "rgbA": jnp.asarray(
+            rng.randint(0, 255, (batch, res, res, 3), np.uint8)),
+        "depthA": jnp.asarray(
+            rng.randint(400, 800, (batch, res, res), np.uint16)),
+        "rgbB": jnp.asarray(
+            rng.randint(0, 255, (batch, res, res, 3), np.uint8)),
+        "depthB": jnp.asarray(
+            rng.randint(400, 800, (batch, res, res), np.uint16)),
+        "maskB": jnp.ones((batch, res, res), jnp.uint8),
+        "A_in_cam": jnp.asarray(poses),
+        "B_in_cam": jnp.asarray(poses),
+    }
+    key = jax.random.PRNGKey(1)
+
+    flops = 0.0
+    try:
+        lowered = tr.train_step.lower(
+            model, tx, cfg, state, key, raw, b.mean, b.std)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception as e:
+        log(f"train cost_analysis unavailable: {e}")
+
+    t0 = time.perf_counter()
+    state, m = tr.train_step(model, tx, cfg, state, key, raw, b.mean, b.std)
+    np.asarray(m["loss"])
+    log(f"train first step (compile): {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        state, m = tr.train_step(
+            model, tx, cfg, state, key, raw, b.mean, b.std)
+    np.asarray(m["loss"])
+    dt = time.perf_counter() - t0
+    sps = batch * iters / dt
+    log(f"train steady-state: {dt / iters * 1e3:.1f} ms/step @ batch "
+        f"{batch} = {sps:.0f} samples/s")
+    return sps, flops, batch
+
+
 def step_flops(b):
     """FLOPs of one compiled track_step from XLA cost analysis."""
     import jax
@@ -211,7 +274,7 @@ def main():
         f"{achieved / 1e12:.3f} TFLOP/s = {mfu:.2f}% of v5e bf16 peak "
         f"(latency-bound tracker: batch-1 CNN + VPU-bound raster)")
 
-    print(json.dumps({
+    out = {
         "metric": "tracking_hz_single_object",
         "value": round(hz, 2),
         "unit": "Hz",
@@ -222,7 +285,22 @@ def main():
         "step_gflops": round(flops / 1e9, 3),
         "achieved_tflops": round(achieved / 1e12, 4),
         "mfu_pct_bf16_peak": round(mfu, 3),
-    }))
+    }
+
+    try:
+        sps, train_flops, tbatch = bench_train(b)
+        out["train_samples_per_sec"] = round(sps, 1)
+        if train_flops:
+            tput = train_flops * sps / tbatch  # per-step flops x steps/s
+            out["train_step_gflops"] = round(train_flops / 1e9, 2)
+            out["train_mfu_pct_bf16_peak"] = round(
+                tput / PEAK_FLOPS_BF16 * 100, 3)
+            log(f"train MFU {out['train_mfu_pct_bf16_peak']:.2f}% of v5e "
+                f"bf16 peak (f32 step)")
+    except Exception as e:
+        log(f"train bench failed (non-fatal): {e}")
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
