@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-import random
 import sys
 
 
@@ -248,8 +247,7 @@ def main():
 
     with open(args.dataset_info) as f:
         info = yaml.safe_load(f)
-    rng = random.Random(args.seed)
-    np_rng = __import__("numpy").random.RandomState(args.seed)
+    np_rng = np.random.RandomState(args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
     tmp_dir = os.path.join(args.out_dir, "_tmp")
     os.makedirs(tmp_dir, exist_ok=True)
@@ -331,7 +329,14 @@ def _convert_outputs(tmp_dir, out_dir, index):
         if suffix == "depth":
             out = np.clip(arr * 1000.0, 0, 65535).astype("uint16")
         else:
-            out = arr.astype("uint8")
+            # IndexOB carries pass_index = class_id + 1 (the +1 keeps
+            # class 0 distinct from the 0-valued background). Decode back
+            # to class ids here so seg pixels match the npz class_ids and
+            # complete_blender's `seg == class_id` test (reference
+            # produce_train_pair_data.py:207 uses raw pass_index, which
+            # breaks for class 0); background becomes 255.
+            idx = np.rint(arr).astype(np.int32)
+            out = np.where(idx > 0, idx - 1, 255).astype("uint8")
         # write via Blender-bundled PIL-free path: reuse bpy image save
         _save_png(os.path.join(out_dir, f"{index:07d}{suffix}.png"), out)
         for m in matches:
