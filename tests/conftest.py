@@ -26,4 +26,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (fingerprinted like __graft_entry__.py:
+# XLA:CPU AOT entries embed host ISA features, so a different machine
+# must cold-compile rather than load foreign binaries). Cuts repeat
+# suite runs from minutes of XLA compile to cache replay.
+try:
+    import hashlib
+
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+    _fp = hashlib.sha1(_flags.encode()).hexdigest()[:12]
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".xla_cache", _fp),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
