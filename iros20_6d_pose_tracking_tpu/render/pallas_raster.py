@@ -85,6 +85,34 @@ def build_face_coefficients(fx, fy, fiz, fvalid):
     return coef.astype(jnp.float32), ok
 
 
+def build_face_bboxes(fx, fy, fvalid):
+    """Per-face screen bbox (F, 4): [xmin, xmax, ymin, ymax]; invalid
+    faces get an empty bbox (xmin > xmax)."""
+    big = jnp.float32(3.0e8)
+    vx = jnp.where(fvalid[:, None], fx, big)
+    vy = jnp.where(fvalid[:, None], fy, big)
+    xmin = vx.min(axis=1)
+    ymin = vy.min(axis=1)
+    vx = jnp.where(fvalid[:, None], fx, -big)
+    vy = jnp.where(fvalid[:, None], fy, -big)
+    xmax = vx.max(axis=1)
+    ymax = vy.max(axis=1)
+    return jnp.stack([xmin, xmax, ymin, ymax], axis=1).astype(jnp.float32)
+
+
+def reduce_block_bboxes(face_bbox, face_block: int):
+    """Union per-face bboxes into per-face-block bboxes (nb, 4).
+    ``face_bbox.shape[0]`` must be a multiple of ``face_block``."""
+    F = face_bbox.shape[0]
+    assert F % face_block == 0, (F, face_block)
+    r = face_bbox.reshape(F // face_block, face_block, 4)
+    return jnp.stack(
+        [r[..., 0].min(axis=1), r[..., 1].max(axis=1),
+         r[..., 2].min(axis=1), r[..., 3].max(axis=1)],
+        axis=1,
+    )
+
+
 def build_block_bboxes(fx, fy, fvalid, face_block: int):
     """Per-face-block screen bbox (nb, 4): [xmin, xmax, ymin, ymax],
     nb = ceil(F / face_block) (trailing partial blocks padded empty).

@@ -315,6 +315,25 @@ def shade_rows(R, t, row, zmin_f, hit_f, out_hw,
     return rgb, depth_mm
 
 
+def _compact_front(keep, *tables):
+    """Stable-partition rows with ``keep`` True to the front of every
+    table at once (one fused scatter over the concatenation). Returns the
+    permuted tables; the destination map is a bijection, so the scatter
+    lowers to a data permutation rather than a read-modify-write."""
+    k = keep.astype(jnp.int32)
+    nkeep = jnp.sum(k)
+    dest = jnp.where(
+        keep, jnp.cumsum(k) - 1, nkeep + jnp.cumsum(1 - k) - 1
+    ).astype(jnp.int32)
+    cat = jnp.concatenate([t.astype(jnp.float32) for t in tables], axis=1)
+    out = jnp.zeros_like(cat).at[dest].set(cat, unique_indices=True)
+    splits, acc = [], 0
+    for t in tables[:-1]:
+        acc += t.shape[1]
+        splits.append(acc)
+    return jnp.split(out, splits, axis=1)
+
+
 def _backface_mask(mesh: MeshArrays, R, t) -> jax.Array:
     """(F,) True for faces that cannot be the closest visible surface of a
     closed mesh viewed from outside: the GEOMETRIC face normal (cross of
@@ -375,13 +394,6 @@ def render(
     # through the cull permutation below).
     attr_coef = _face_attr_coefficients(fx, fy, fiz, fvalid, mesh)
 
-    perm = None
-    if cull_backfaces and impl.startswith("pallas"):
-        keep = fvalid & ~_backface_mask(mesh, R, t)
-        perm = jnp.argsort(~keep, stable=True).astype(jnp.int32)
-        fx, fy, fiz = fx[perm], fy[perm], fiz[perm]
-        fvalid = keep[perm]
-
     if impl == "xla":
         zmin, winner = _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block,
                                   skip_blocks)
@@ -392,7 +404,27 @@ def render(
         # larger blocks measured fastest; mesh padding guarantees 256 |  F).
         F = fx.shape[0]
         fb = next((b for b in (1024, 512, 256) if F % b == 0), F)
-        bbox = pr.build_block_bboxes(fx, fy, fvalid, fb)
+        if cull_backfaces:
+            # Stable-partition survivors to the front so whole trailing
+            # face-blocks become empty-bbox and the kernel skips them.
+            # The VPU computes full lane blocks regardless of per-face
+            # validity, so only block-level elimination saves time. One
+            # fused row scatter moves pass-1 coefficients, per-face
+            # bboxes AND pass-2 attribute forms together: winner indices
+            # then live in the permuted space end-to-end — no argsort
+            # and no per-pixel winner remap (both measured to eat most
+            # of the cull win).
+            keep = fvalid & ~_backface_mask(mesh, R, t)
+            poison = jnp.zeros((12, 1), coef.dtype).at[
+                [pr.ROW_C0, pr.ROW_C1, pr.ROW_C2], 0].set(-1.0)
+            coef = jnp.where(keep[None, :], coef, poison)
+            face_bbox = pr.build_face_bboxes(fx, fy, keep)
+            coef_t, face_bbox, attr_coef = _compact_front(
+                keep, coef.T, face_bbox, attr_coef)
+            coef = coef_t.T
+            bbox = pr.reduce_block_bboxes(face_bbox, fb)
+        else:
+            bbox = pr.build_block_bboxes(fx, fy, fvalid, fb)
         izbest, winner = pr.pallas_pass1(
             coef, bbox, out_hw, face_block=fb,
             interpret=(impl == "pallas_interpret"),
@@ -404,8 +436,6 @@ def render(
     else:
         raise ValueError(f"unknown impl {impl!r}")
 
-    if perm is not None:
-        winner = perm[winner]
     return _pass2_shade(mesh, R, t, attr_coef, zmin, winner, hit, out_hw,
                         depth_from_form=impl.startswith("pallas"))
 
