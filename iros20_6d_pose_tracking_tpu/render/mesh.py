@@ -230,6 +230,31 @@ def voxel_down_sample(points: np.ndarray, voxel: float) -> np.ndarray:
     return (sums / counts).astype(np.float32)
 
 
+def is_closed(verts: np.ndarray, faces: np.ndarray) -> bool:
+    """True when the face set is a watertight ORIENTED surface: after
+    welding coincident vertices (flat-shaded meshes duplicate vertices per
+    face), every directed edge appears exactly once and its reverse also
+    appears. Backfaces of such a mesh viewed from outside are always
+    occluded by a front face along the ray, so backface culling is
+    output-identical (render(..., cull_backfaces=True)). Pass the REAL
+    faces only (``mesh.faces[:mesh.num_faces]``, padding is degenerate)."""
+    f = np.asarray(faces, np.int64)
+    if len(f) == 0:
+        return False
+    v = np.round(np.asarray(verts, np.float64) / 1e-7).astype(np.int64)
+    _, weld = np.unique(v, axis=0, return_inverse=True)
+    f = weld[f]
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    if np.any(e[:, 0] == e[:, 1]):  # degenerate edge
+        return False
+    key = (e[:, 0] << 32) | e[:, 1]
+    rkey = (e[:, 1] << 32) | e[:, 0]
+    key = np.sort(key)
+    if np.any(key[1:] == key[:-1]):  # repeated directed edge
+        return False
+    return bool(np.array_equal(key, np.sort(rkey)))
+
+
 def compute_cloud_diameter(points: np.ndarray) -> float:
     """Max pairwise distance via convex hull (reference Utils.py:101-105)."""
     pts = np.asarray(points, np.float64)

@@ -228,6 +228,8 @@ class Tracker:
         variables=None,
         dtype=jnp.float32,
         max_faces: int | None = None,
+        render_impl: str | None = None,
+        cull_backfaces: bool | None = None,
     ):
         from ..render import mesh as mesh_mod
 
@@ -273,12 +275,24 @@ class Tracker:
             object_width = max_width * (1.0 + pad / 100.0)
         self.object_width = object_width
 
+        # Auto renderer selection: the Pallas kernel on accelerators
+        # (render/pallas_raster.py), the XLA path on CPU hosts/tests.
+        if render_impl is None:
+            render_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+        # Watertight oriented meshes get backface culling for free
+        # (output-identical, ~1.4x faster pass 1 — rasterizer.py cull).
+        if cull_backfaces is None:
+            cull_backfaces = mesh_mod.is_closed(
+                render_mesh.verts,
+                render_mesh.faces[: render_mesh.num_faces])
         self.cfg = TrackerConfig(
             resolution=res,
             trans_normalizer=float(trans_normalizer),
             rot_normalizer=float(rot_normalizer),
             object_width_mm=float(object_width),
             dtype=dtype,
+            render_impl=render_impl,
+            cull_backfaces=bool(cull_backfaces),
         )
         self.model = tracknet.Se3TrackNet(image_size=res, dtype=dtype)
 

@@ -96,6 +96,10 @@ def test_tracker_class_api():
     )
     # object width from diameter + 10% pad: ~110 mm.
     assert 95.0 < t.object_width < 125.0
+    # auto renderer selection: XLA path on the CPU test backend, and
+    # backface culling auto-enabled for the watertight sphere.
+    assert t.cfg.render_impl == "xla"
+    assert t.cfg.cull_backfaces is True
     pose = np.eye(4)
     pose[:3, 3] = [0, 0, 0.5]
     rgb, depth = _frame(t.mesh, pose.astype(np.float32))

@@ -137,3 +137,23 @@ def test_ascii_ply_quad_triangulation(tmp_path):
         f.write("4 0 1 2 3\n")
     d = M.load_ply(str(path))
     assert d["faces"].shape == (2, 3)
+
+
+def test_is_closed_detection():
+    """Watertight oriented meshes -> True (safe to backface-cull);
+    open/degenerate face sets -> False."""
+    sphere = M.make_icosphere(subdiv=2, radius=0.05)
+    assert M.is_closed(sphere.verts, sphere.faces[: sphere.num_faces])
+    # the face-colored cube duplicates vertices per face: the weld step
+    # must recover its geometric closedness
+    cube = M.make_cube(0.08)
+    assert M.is_closed(cube.verts, cube.faces[: cube.num_faces])
+    tri = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 1]],
+                   np.float32)
+    # one triangle: boundary edges have no reverse
+    assert not M.is_closed(tri, np.array([[0, 1, 2]]))
+    # two triangles sharing an edge with the SAME orientation (flipped
+    # winding): directed edge repeated
+    assert not M.is_closed(tri, np.array([[0, 1, 2], [0, 1, 3]]))
+    # padding row (0,0,0) is degenerate
+    assert not M.is_closed(tri, np.array([[0, 0, 0]]))
