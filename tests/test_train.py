@@ -149,7 +149,16 @@ def test_checkpoint_roundtrip(tmp_path):
 @pytest.mark.slow
 def test_learns_to_refine(synth):
     """~150 steps on device-synthetic pairs must beat the no-op baseline:
-    the predicted update moves the pose closer to ground truth."""
+    the predicted update moves the pose closer to ground truth.
+
+    The forward pass uses CURRENT-BATCH BatchNorm statistics (train=True,
+    mutations discarded), NOT the running averages: at 150 tiny-batch
+    steps the running stats are still warming up and dominate the
+    prediction error — measured ratios through running stats swung
+    0.64 -> 1.05 between 150 and 220 steps (pure BN-warmup noise, flips
+    with platform reduction order), while batch-stats eval gives a stable
+    0.38 at 150 steps. Full training converges the running stats; the
+    trajectory-level tests cover that path."""
     cfg = _quick_cfg(learning_rate=1e-3)
     model = tracknet.Se3TrackNet(image_size=RES)
     tx, _ = tr.make_optimizer(cfg, steps_per_epoch=1000)
@@ -168,9 +177,9 @@ def test_learns_to_refine(synth):
     bufA, bufB, t_label, r_label = tr.preprocess_batch(
         jax.random.PRNGKey(5), raw, mean, std, cfg, train=False
     )
-    out = model.apply(
+    out, _ = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
-        bufA, bufB, train=False,
+        bufA, bufB, train=True, mutable=["batch_stats"],
     )
     pred_B = se3.decode_delta(
         jnp.asarray(raw["A_in_cam"]), out["trans"], out["rot"],
@@ -179,7 +188,7 @@ def test_learns_to_refine(synth):
     gt_t = np.array(raw["B_in_cam"])[:, :3, 3]
     err_before = np.linalg.norm(np.array(raw["A_in_cam"])[:, :3, 3] - gt_t, axis=1)
     err_after = np.linalg.norm(np.array(pred_B)[:, :3, 3] - gt_t, axis=1)
-    # 150 tiny-batch steps: expect a clear (>=25%) improvement over the
-    # no-op baseline; full training drives this much lower.
-    assert err_after.mean() < 0.75 * err_before.mean(), (
+    # measured 0.38 on a 1-core host; 0.60 leaves margin for platform
+    # reduction-order drift without hiding a real training regression
+    assert err_after.mean() < 0.60 * err_before.mean(), (
         err_before.mean(), err_after.mean())
