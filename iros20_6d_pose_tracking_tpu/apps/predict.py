@@ -169,7 +169,8 @@ def _track_files(tracker, rgb_files, depth_files, init_pose, args,
     return np.stack(poses)
 
 
-def _write_visuals(tracker, rgb_files, depth_files, poses, args, start=0):
+def _write_visuals(tracker, rgb_files, depth_files, poses, args, start=0,
+                   name_offset=0):
     """Post-tracking visual outputs (one pass over the frames):
 
       --viz_dir     per-frame projected-point overlay PNGs
@@ -199,17 +200,21 @@ def _write_visuals(tracker, rgb_files, depth_files, poses, args, start=0):
 
     for i in range(start + 1, len(rgb_files)):
         pose = poses[i - start]
+        # frame index used in filenames/labels: callers that prepend a
+        # sentinel "_init" entry (ycbineoat) pass name_offset=1 so PNGs
+        # line up with the 0-based pose txts they save per real frame
+        idx = i - name_offset
         rgb = None
         if args.viz_dir or args.save_video:
             import cv2
 
             rgb = _load_rgb(rgb_files[i])
             bgr = draw_projected_points(rgb, pose, K, cloud)
-            cv2.putText(bgr, f"frame:{i}", (bgr.shape[1] // 2,
+            cv2.putText(bgr, f"frame:{idx}", (bgr.shape[1] // 2,
                                             bgr.shape[0] - 50),
                         cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 0, 0), 4)
             if args.viz_dir:
-                cv2.imwrite(os.path.join(args.viz_dir, f"{i:07d}.png"), bgr)
+                cv2.imwrite(os.path.join(args.viz_dir, f"{idx:07d}.png"), bgr)
             if writer is not None:
                 writer.write(bgr)
         if args.canvas_dir:
@@ -223,7 +228,7 @@ def _write_visuals(tracker, rgb_files, depth_files, poses, args, start=0):
                 jnp.asarray(depth),
             )
             canvas = make_canvas([np.asarray(rgbA), np.asarray(rgbB)])
-            cv2.imwrite(os.path.join(args.canvas_dir, f"{i:07d}.png"), canvas)
+            cv2.imwrite(os.path.join(args.canvas_dir, f"{idx:07d}.png"), canvas)
     if writer is not None:
         writer.close()
 
@@ -297,7 +302,7 @@ def predict_sequence_ycbineoat(args, dataset_info, mean, std):
                              ["_init"] + depth_files, init_pose, args)
     pred = all_poses[1:]
     _write_visuals(tracker, ["_init"] + rgb_files, ["_init"] + depth_files,
-                   all_poses, args)
+                   all_poses, args, name_offset=1)
     os.makedirs(args.outdir, exist_ok=True)
     for i, p in enumerate(pred):
         np.savetxt(os.path.join(args.outdir, f"{i:07d}.txt"), p)

@@ -72,13 +72,20 @@ class TrackerRosCore:
         if self.stream is not None:
             rgb_u8 = self.color if self.color.dtype == np.uint8 \
                 else np.clip(self.color, 0, 255).astype(np.uint8)
+            # ROS depth topics publish NaN/inf for no-return pixels (and
+            # float->uint16 overflow is undefined): map them to 0 mm =
+            # "no reading" and clamp before the cast.
+            depth_mm = np.nan_to_num(self.depth * 1000.0, nan=0.0,
+                                     posinf=0.0, neginf=0.0)
             self.stream.push(rgb_u8,
-                             (self.depth * 1000.0).astype(np.uint16))
+                             np.clip(depth_mm, 0.0, 65535.0)
+                             .astype(np.uint16))
             pose = self.stream.current_pose().astype(np.float64)
         else:
             pose = self.tracker.on_track(
                 self.prev_pose, self.color,
-                (self.depth * 1000.0).astype(np.float32),
+                np.nan_to_num((self.depth * 1000.0).astype(np.float32),
+                              nan=0.0, posinf=0.0, neginf=0.0),
                 gt_A_in_cam=np.eye(4), gt_B_in_cam=np.eye(4),
             )
         self.prev_pose = pose

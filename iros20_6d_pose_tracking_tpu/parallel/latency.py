@@ -41,7 +41,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import se3
 from ..models import tracknet
 from ..ops import roi as roi_ops
-from ..render import pallas_raster as pr
 from ..render import rasterizer as rz
 
 
@@ -79,24 +78,16 @@ def shard_mesh_faces(mesh_arrays: rz.MeshArrays, mesh: Mesh) -> rz.MeshArrays:
     return jax.tree.map(lambda x: jax.device_put(x, sh), padded)
 
 
-def _local_pass1(fx, fy, fiz, fvalid, out_hw, impl):
-    """Per-shard z-buffer pass; returns (inverse depth, local winner)."""
-    if impl.startswith("pallas"):
-        coef, _ = pr.build_face_coefficients(fx, fy, fiz, fvalid)
-        F = fx.shape[0]
-        fb = next((b for b in (1024, 512, 256) if F % b == 0), F)
-        bbox = pr.build_block_bboxes(fx, fy, fvalid, fb)
-        iz, win = pr.pallas_pass1(coef, bbox, out_hw, face_block=fb,
-                                  interpret=(impl == "pallas_interpret"))
-        return iz, win
-    zmin, win = rz._pass1_xla(fx, fy, fiz, fvalid, out_hw, 256, True)
-    iz = jnp.where(jnp.isfinite(zmin), 1.0 / jnp.maximum(zmin, 1e-9), -1.0)
-    return iz, win
-
-
 def sharded_render(cfg, mesh: Mesh):
     """shard_map'd face-parallel render: (sharded MeshArrays, pose, K,
-    bbox) -> replicated (rgb, depth_mm) identical to rz.render."""
+    bbox) -> replicated (rgb, depth_mm) identical to rz.render.
+
+    The per-shard winner search is rz.pass1 — the SAME dispatch the
+    single-chip render uses — so a pass-1 change there cannot silently
+    diverge this path; only the cross-chip merge lives here.
+    ``cfg.cull_backfaces`` applies shard-locally as a mask (no
+    compaction: the shard's block layout must stay aligned with its
+    global face offsets for the winner-id merge)."""
     res = (cfg.resolution, cfg.resolution)
 
     def local(fverts, fcolors, fnormals, fmask, pose, K, bbox):
@@ -104,7 +95,10 @@ def sharded_render(cfg, mesh: Mesh):
         window = rz.window_from_bbox(bbox)
         fx, fy, fiz, fvalid, R, t = rz._project(
             lm, pose, K, window, res, cfg.near)
-        iz, win = _local_pass1(fx, fy, fiz, fvalid, res, cfg.render_impl)
+        if getattr(cfg, "cull_backfaces", False):
+            fvalid = fvalid & ~rz._backface_mask(lm, R, t)
+        _, iz, win = rz.pass1(fx, fy, fiz, fvalid, res,
+                              impl=cfg.render_impl)
 
         Floc = fverts.shape[0]
         off = jax.lax.axis_index("sp") * Floc

@@ -255,6 +255,31 @@ def is_closed(verts: np.ndarray, faces: np.ndarray) -> bool:
     return bool(np.array_equal(key, np.sort(rkey)))
 
 
+def is_outward_oriented(verts: np.ndarray, faces: np.ndarray,
+                        normals: np.ndarray) -> bool:
+    """True when the per-vertex shading normals point OUTWARD on every
+    non-degenerate face. Backface culling orients geometric normals by the
+    stored shading normals (rasterizer._backface_mask), so on a closed
+    mesh whose file normals point inward (a common CAD/PLY export error)
+    culling would keep the FAR surface — only auto-enable it when the
+    winding-outward geometric normal (sign fixed by the mesh's signed
+    volume) agrees with the shading normal everywhere."""
+    v = np.asarray(verts, np.float64)[np.asarray(faces, np.int64)]
+    if len(v) == 0:
+        return False
+    gn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    vol = np.einsum("fi,fi->", gn, v[:, 0]) / 6.0  # divergence theorem
+    if vol == 0.0:
+        return False
+    gn_out = gn * np.sign(vol)
+    n_avg = np.asarray(normals, np.float64)[np.asarray(faces, np.int64)]
+    n_avg = n_avg.mean(axis=1)
+    d = np.einsum("fi,fi->f", gn_out, n_avg)
+    nz = (np.linalg.norm(gn, axis=-1) > 0) & (
+        np.linalg.norm(n_avg, axis=-1) > 0)
+    return bool(nz.any() and (d[nz] > 0).all())
+
+
 def compute_cloud_diameter(points: np.ndarray) -> float:
     """Max pairwise distance via convex hull (reference Utils.py:101-105)."""
     pts = np.asarray(points, np.float64)
@@ -356,17 +381,21 @@ def load_mesh(path: str) -> TriMesh:
 # Procedural meshes (tests, demos, synthetic data generation)
 # ---------------------------------------------------------------------------
 
-def make_cube(size: float = 0.1, color=(0.8, 0.2, 0.2),
-              distinct_faces: bool = True) -> TriMesh:
-    """Axis-aligned cube centered at origin with per-face-correct normals
-    (vertices duplicated per face). With ``distinct_faces`` each side gets
-    its own hue so orientation is visually observable (useful for tests,
-    demos, and rotation-tracking sanity checks)."""
-    s = size / 2.0
+def make_box(size_xyz, color=(0.8, 0.2, 0.2), distinct_faces: bool = True,
+             center=(0.0, 0.0, 0.0), _raw: bool = False) -> TriMesh:
+    """Axis-aligned cuboid with per-face-correct normals (vertices
+    duplicated per face). With ``distinct_faces`` each side gets its own
+    hue so orientation is visually observable. ``size_xyz`` may be a
+    scalar (cube) or an (sx, sy, sz) triple (anisotropic box — no
+    rotational symmetry ambiguity along any axis)."""
+    size_xyz = np.broadcast_to(np.asarray(size_xyz, np.float32), (3,))
+    s = size_xyz / 2.0
+    c = np.asarray(center, np.float32)
     corners = np.array(
-        [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
+        [[x, y, z] for x in (-s[0], s[0]) for y in (-s[1], s[1])
+         for z in (-s[2], s[2])],
         np.float32,
-    )
+    ) + c
     # 6 faces as corner-index quads (+x,-x,+y,-y,+z,-z), outward CCW.
     quads = [
         (4, 6, 7, 5), (0, 1, 3, 2),
@@ -392,8 +421,36 @@ def make_cube(size: float = 0.1, color=(0.8, 0.2, 0.2),
         colors = np.repeat(palette, 4, axis=0)  # 4 verts per face
     else:
         colors = np.tile(np.array(color, np.float32), (len(verts), 1))
+    if _raw:  # unpacked pieces for compound builders (make_lshape)
+        return (verts, np.array(faces, np.int32), colors,
+                np.array(normals, np.float32))
     return build_trimesh(verts, np.array(faces, np.int32), colors,
                          np.array(normals, np.float32))
+
+
+def make_cube(size: float = 0.1, color=(0.8, 0.2, 0.2),
+              distinct_faces: bool = True) -> TriMesh:
+    """Cube: :func:`make_box` with one size (kept as the demos' and
+    tests' historical entry point)."""
+    return make_box(size, color=color, distinct_faces=distinct_faces)
+
+
+def make_lshape(size: float = 0.09, thickness: float = 0.035) -> TriMesh:
+    """L-shaped bracket: two cuboids sharing a corner — fully asymmetric
+    geometry (no rotation axis leaves it invariant), so both depth and
+    RGB observe every rotation component. A harder tracking target than
+    the cube (thin arms, self-occlusion at grazing views)."""
+    a = make_box((size, thickness, thickness),
+                 center=(0.0, 0.0, 0.0), _raw=True)
+    b = make_box((thickness, size - thickness, thickness),
+                 center=(-(size - thickness) / 2.0,
+                         (size) / 2.0, 0.0), _raw=True)
+    verts = np.concatenate([a[0], b[0]])
+    faces = np.concatenate([a[1], b[1] + len(a[0])])
+    # shuffle the second arm's palette so the arms are distinguishable
+    colors = np.concatenate([a[2], b[2][:, [1, 2, 0]]])
+    normals = np.concatenate([a[3], b[3]])
+    return build_trimesh(verts, faces, colors, normals)
 
 
 def make_icosphere(subdiv: int = 3, radius: float = 0.05,

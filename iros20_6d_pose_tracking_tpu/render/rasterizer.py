@@ -349,6 +349,43 @@ def _backface_mask(mesh: MeshArrays, R, t) -> jax.Array:
     return jnp.sum(gn * centroid, axis=-1) > 0.0
 
 
+def pick_face_block(F: int) -> int:
+    """Kernel face-block size: biggest of {1024, 512, 256} dividing F
+    (fewer, larger blocks measured fastest — docs/KERNEL.md; mesh padding
+    guarantees 256 | F)."""
+    return next((b for b in (1024, 512, 256) if F % b == 0), F)
+
+
+def pass1(fx, fy, fiz, fvalid, out_hw, face_block: int = FACE_BLOCK,
+          skip_blocks: bool = True, impl: str = "xla"):
+    """Shared z-buffer pass-1 dispatch (no cull compaction): the winner
+    search over projected faces, as (zmin, iz, winner).
+
+    ``zmin`` is metric depth (inf where no face), ``iz`` the best inverse
+    depth (<= 0 where none) — each impl computes its native form exactly
+    and derives the other, so callers pick whichever they need without a
+    lossy double reciprocal. Used by :func:`render` AND by
+    parallel/latency.sharded_render's per-shard pass so the single-chip
+    and face-sharded SP paths cannot drift.
+    """
+    if impl == "xla":
+        zmin, winner = _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block,
+                                  skip_blocks)
+        iz = jnp.where(jnp.isfinite(zmin),
+                       1.0 / jnp.maximum(zmin, 1e-9), -1.0)
+        return zmin, iz, winner
+    if impl in ("pallas", "pallas_interpret"):
+        coef, _ = pr.build_face_coefficients(fx, fy, fiz, fvalid)
+        fb = pick_face_block(fx.shape[0])
+        bbox = pr.build_block_bboxes(fx, fy, fvalid, fb)
+        iz, winner = pr.pallas_pass1(
+            coef, bbox, out_hw, face_block=fb,
+            interpret=(impl == "pallas_interpret"))
+        zmin = jnp.where(iz > 1e-9, 1.0 / jnp.maximum(iz, 1e-9), jnp.inf)
+        return zmin, iz, winner
+    raise ValueError(f"unknown impl {impl!r}")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_hw", "face_block", "skip_blocks", "impl",
@@ -383,7 +420,8 @@ def render(
         points away from the camera before pass 1 — output-identical for
         closed meshes viewed from outside (roughly halves pass-1 work;
         Morton order keeps the survivors block-coherent). Leave False for
-        open/self-intersecting geometry. Pallas path only.
+        open/self-intersecting geometry. The Pallas path compacts; the
+        XLA path masks only.
 
     Returns:
       rgb: (H, W, 3) float32 in [0, 255]
@@ -394,47 +432,41 @@ def render(
     # through the cull permutation below).
     attr_coef = _face_attr_coefficients(fx, fy, fiz, fvalid, mesh)
 
-    if impl == "xla":
-        zmin, winner = _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block,
-                                  skip_blocks)
-        hit = jnp.isfinite(zmin) & (zmin < far)
-    elif impl in ("pallas", "pallas_interpret"):
+    if impl in ("pallas", "pallas_interpret") and cull_backfaces:
+        # Stable-partition survivors to the front so whole trailing
+        # face-blocks become empty-bbox and the kernel skips them.
+        # The VPU computes full lane blocks regardless of per-face
+        # validity, so only block-level elimination saves time. One
+        # fused row scatter moves pass-1 coefficients, per-face
+        # bboxes AND pass-2 attribute forms together: winner indices
+        # then live in the permuted space end-to-end — no argsort
+        # and no per-pixel winner remap (both measured to eat most
+        # of the cull win).
         coef, _ = pr.build_face_coefficients(fx, fy, fiz, fvalid)
-        # Kernel block size: biggest of {1024, 512, 256} dividing F (fewer,
-        # larger blocks measured fastest; mesh padding guarantees 256 |  F).
-        F = fx.shape[0]
-        fb = next((b for b in (1024, 512, 256) if F % b == 0), F)
-        if cull_backfaces:
-            # Stable-partition survivors to the front so whole trailing
-            # face-blocks become empty-bbox and the kernel skips them.
-            # The VPU computes full lane blocks regardless of per-face
-            # validity, so only block-level elimination saves time. One
-            # fused row scatter moves pass-1 coefficients, per-face
-            # bboxes AND pass-2 attribute forms together: winner indices
-            # then live in the permuted space end-to-end — no argsort
-            # and no per-pixel winner remap (both measured to eat most
-            # of the cull win).
-            keep = fvalid & ~_backface_mask(mesh, R, t)
-            poison = jnp.zeros((12, 1), coef.dtype).at[
-                [pr.ROW_C0, pr.ROW_C1, pr.ROW_C2], 0].set(-1.0)
-            coef = jnp.where(keep[None, :], coef, poison)
-            face_bbox = pr.build_face_bboxes(fx, fy, keep)
-            coef_t, face_bbox, attr_coef = _compact_front(
-                keep, coef.T, face_bbox, attr_coef)
-            coef = coef_t.T
-            bbox = pr.reduce_block_bboxes(face_bbox, fb)
-        else:
-            bbox = pr.build_block_bboxes(fx, fy, fvalid, fb)
+        fb = pick_face_block(fx.shape[0])
+        keep = fvalid & ~_backface_mask(mesh, R, t)
+        poison = jnp.zeros((12, 1), coef.dtype).at[
+            [pr.ROW_C0, pr.ROW_C1, pr.ROW_C2], 0].set(-1.0)
+        coef = jnp.where(keep[None, :], coef, poison)
+        face_bbox = pr.build_face_bboxes(fx, fy, keep)
+        coef_t, face_bbox, attr_coef = _compact_front(
+            keep, coef.T, face_bbox, attr_coef)
+        coef = coef_t.T
+        bbox = pr.reduce_block_bboxes(face_bbox, fb)
         izbest, winner = pr.pallas_pass1(
             coef, bbox, out_hw, face_block=fb,
             interpret=(impl == "pallas_interpret"),
         )
-        found = izbest > 1e-9
-        zmin = jnp.where(found, 1.0 / jnp.maximum(izbest, 1e-9), jnp.inf)
-        winner = jnp.clip(winner, 0, mesh.fverts.shape[0] - 1)
-        hit = found & (zmin < far)
+        zmin = jnp.where(izbest > 1e-9,
+                         1.0 / jnp.maximum(izbest, 1e-9), jnp.inf)
     else:
-        raise ValueError(f"unknown impl {impl!r}")
+        fvalid_c = fvalid
+        if cull_backfaces:  # xla path: mask-only cull (no compaction)
+            fvalid_c = fvalid & ~_backface_mask(mesh, R, t)
+        zmin, _, winner = pass1(fx, fy, fiz, fvalid_c, out_hw, face_block,
+                                skip_blocks, impl)
+    winner = jnp.clip(winner, 0, mesh.fverts.shape[0] - 1)
+    hit = jnp.isfinite(zmin) & (zmin < far)
 
     return _pass2_shade(mesh, R, t, attr_coef, zmin, winner, hit, out_hw,
                         depth_from_form=impl.startswith("pallas"))

@@ -275,16 +275,21 @@ class Tracker:
             object_width = max_width * (1.0 + pad / 100.0)
         self.object_width = object_width
 
-        # Auto renderer selection: the Pallas kernel on accelerators
-        # (render/pallas_raster.py), the XLA path on CPU hosts/tests.
+        # Auto renderer selection: the Pallas kernel on TPU
+        # (render/pallas_raster.py), the XLA path everywhere else
+        # (CPU hosts/tests, GPU backends where pltpu cannot lower).
         if render_impl is None:
-            render_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
-        # Watertight oriented meshes get backface culling for free
-        # (output-identical, ~1.4x faster pass 1 — rasterizer.py cull).
+            render_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Watertight meshes with OUTWARD shading normals get backface
+        # culling for free (output-identical, ~1.4x faster pass 1 —
+        # rasterizer.py cull). Inward-normal exports must not auto-cull:
+        # the normal-oriented mask would keep the far surface.
         if cull_backfaces is None:
+            real_faces = render_mesh.faces[: render_mesh.num_faces]
             cull_backfaces = mesh_mod.is_closed(
-                render_mesh.verts,
-                render_mesh.faces[: render_mesh.num_faces])
+                render_mesh.verts, real_faces
+            ) and mesh_mod.is_outward_oriented(
+                render_mesh.verts, real_faces, render_mesh.normals)
         self.cfg = TrackerConfig(
             resolution=res,
             trans_normalizer=float(trans_normalizer),

@@ -74,6 +74,24 @@ def test_ros_core_stream_matches_blocking():
     for a, b in zip(p_ref, p_stream):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    # Non-finite / out-of-range ROS depth (NaN/inf no-return pixels, >65m
+    # readings) must be sanitized before the uint16-mm cast, not wrap or
+    # hit undefined float->int conversion: identical pixels as 0 mm.
+    bad = depth_m.copy()
+    bad[:4, :4] = np.nan
+    bad[:4, 4:8] = np.inf
+    bad[:4, 8:12] = 70.0  # metres; would wrap to ~4.5 m in uint16 mm
+    zeroed = depth_m.copy()
+    zeroed[:4, :12] = 0.0
+    core_stream.grab_color(rgb_u8)
+    core_stream.grab_depth(bad)
+    p_bad = core_stream.on_track()
+    core_blocking.grab_color(rgb_u8)
+    core_blocking.grab_depth(zeroed)
+    p_zeroed = core_blocking.on_track()
+    assert np.isfinite(p_bad).all()
+    np.testing.assert_allclose(p_bad, p_zeroed, atol=1e-5)
+
 
 @pytest.mark.slow
 def test_reference_pth_tar_checkpoint_end_to_end(tmp_path):

@@ -82,6 +82,41 @@ def test_track_video_scan():
     np.testing.assert_allclose(np.array(poses[-1]), pose, atol=1e-6)
 
 
+def test_auto_cull_rejects_inward_normals():
+    """A closed mesh whose file normals point INWARD (common CAD/PLY
+    export error) must not auto-enable backface culling: the
+    normal-oriented mask (rasterizer._backface_mask) would keep the far
+    surface. is_closed alone passes (winding is still consistent after a
+    flip), so the Tracker also requires is_outward_oriented."""
+    sphere = M.make_icosphere(subdiv=2, radius=0.05)
+    real = sphere.faces[: sphere.num_faces]
+    inside_out = M.TriMesh(
+        verts=sphere.verts,
+        faces=np.concatenate(
+            [real[:, ::-1], sphere.faces[sphere.num_faces:]]),
+        colors=sphere.colors,
+        normals=-sphere.normals,
+        num_faces=sphere.num_faces,
+    )
+    assert M.is_closed(inside_out.verts,
+                       inside_out.faces[: inside_out.num_faces])
+    assert M.is_outward_oriented(sphere.verts, real, sphere.normals)
+    assert not M.is_outward_oriented(
+        inside_out.verts, inside_out.faces[: inside_out.num_faces],
+        inside_out.normals)
+    dataset_info = {
+        "camera": {"focalX": 300.0, "focalY": 300.0, "centerX": 32.0,
+                   "centerY": 32.0, "width": 64, "height": 64},
+        "resolution": RES,
+    }
+    t = trk.Tracker(dataset_info, np.zeros(8), np.ones(8) * 100.0,
+                    mesh=inside_out)
+    assert t.cfg.cull_backfaces is False
+    t2 = trk.Tracker(dataset_info, np.zeros(8), np.ones(8) * 100.0,
+                     mesh=sphere)
+    assert t2.cfg.cull_backfaces is True
+
+
 def test_tracker_class_api():
     """Reference-shaped constructor + on_track (predict.py:127-296)."""
     dataset_info = {
