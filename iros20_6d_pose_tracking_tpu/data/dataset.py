@@ -202,6 +202,32 @@ class PairDataset:
         }
 
 
+@dataclass(frozen=True)
+class DRComposite:
+    """On-device domain randomization composited into the observed (B)
+    branch inside the jitted pair sampler.
+
+    The reference's robustness to real scenes comes from the B crop being
+    cut out of a cluttered Blender DR render — textured background at
+    VALID sensor depth, clutter, partial occluders
+    (blender_dataset_generator.py:175-192, produce_train_pair_data.py:118-128).
+    A network trained on clean renders only ever sees background depth
+    pinned to "invalid" and fails on real frames where background depth
+    is a real surface. This config z-composites (background, object,
+    occluder blob) layers on device — the TPU-native counterpart of that
+    offline DR stage, with zero disk IO.
+    """
+
+    bg_prob: float = 0.9
+    bg_depth_range: tuple = (850.0, 1900.0)
+    occluder_prob: float = 0.5
+    # an occluder that would hide more than this fraction of the object's
+    # pixels is dropped (reference producer rejects over-occluded samples,
+    # produce_train_pair_data.py:128; BlackCover keeps >=50% visible,
+    # data_augmentation.py:217-267)
+    max_occluded_frac: float = 0.5
+
+
 class SyntheticPairs:
     """On-device (A, B) pair generator — the TPU-native input pipeline.
 
@@ -210,6 +236,10 @@ class SyntheticPairs:
     ``random_gaussian_magnitude(max_trans, max_rot)`` to get the prior A
     (reference produce_train_pair_data.py:109-110), and renders both
     branches in the A-pose ROI window. Everything stays on device.
+
+    With ``dr=DRComposite(...)`` the B branch is additionally composited
+    into a randomized scene (valid-depth background + occluder blobs) —
+    see :class:`DRComposite`.
     """
 
     def __init__(
@@ -221,6 +251,7 @@ class SyntheticPairs:
         max_trans: float = 0.02,
         max_rot_deg: float = 15.0,
         xyz_range=((-0.1, 0.1), (-0.1, 0.1), (0.4, 0.9)),
+        dr: DRComposite | None = None,
     ):
         self.mesh = mesh
         self.K = jnp.asarray(K, jnp.float32)
@@ -229,6 +260,7 @@ class SyntheticPairs:
         self.max_trans = max_trans
         self.max_rot_deg = max_rot_deg
         self.xyz_range = xyz_range
+        self.dr = dr
 
     def sample_batch(self, key, batch_size: int):
         return _synth_batch(
@@ -241,16 +273,81 @@ class SyntheticPairs:
             self.max_trans,
             self.max_rot_deg,
             tuple(map(tuple, self.xyz_range)),
+            self.dr,
         )
+
+
+def _smooth_noise(key, res, channels, coarse=6, fine=24):
+    """Two-octave smooth noise in [0, 1): coarse blobs + fine detail,
+    bilinearly upsampled — a jit-friendly stand-in for DR textures."""
+    k1, k2 = jax.random.split(key)
+    lo = jax.random.uniform(k1, (coarse, coarse, channels))
+    hi = jax.random.uniform(k2, (fine, fine, channels))
+    shape = (res, res, channels)
+    img = (jax.image.resize(lo, shape, "bilinear") * 0.75
+           + jax.image.resize(hi, shape, "bilinear") * 0.25)
+    return img
+
+
+def _dr_composite_one(key, rgbB, depthB, dr: "DRComposite"):
+    """z-composite (background, object, occluder) into the B branch.
+
+    Object pixels keep their exact rendered values unless an occluder
+    wins the z-test; ``maskB`` becomes true object VISIBILITY (reference
+    segB semantics, produce_train_pair_data.py:118-128).
+    """
+    res = depthB.shape[0]
+    kbg, kbp, kbd, kocc, kop, koc = jax.random.split(key, 6)
+    obj = depthB > 100.0
+
+    # --- background: textured RGB + tilted-plane depth (valid range) ----
+    lo, hi = dr.bg_depth_range
+    bg_rgb = _smooth_noise(kbg, res, 3) * 255.0
+    base = jax.random.uniform(kbd, (), minval=lo, maxval=hi)
+    gx, gy = jax.random.uniform(jax.random.fold_in(kbd, 1), (2,),
+                                minval=-1.5, maxval=1.5)
+    yy, xx = jnp.mgrid[0:res, 0:res]
+    bg_depth = base + gx * (xx - res / 2) + gy * (yy - res / 2) \
+        + _smooth_noise(jax.random.fold_in(kbd, 2), res, 1)[..., 0] * 40.0
+    bg_depth = jnp.clip(bg_depth, lo, 2500.0)
+    use_bg = jax.random.bernoulli(kbp, dr.bg_prob)
+    out_rgb = jnp.where((~obj[..., None]) & use_bg, bg_rgb, rgbB)
+    out_depth = jnp.where((~obj) & use_bg, bg_depth, depthB)
+
+    # --- occluder: colored ellipse blob in front of the object ----------
+    valid = obj.sum()
+    mean_d = jnp.where(valid > 0, (depthB * obj).sum() / (valid + 1e-9),
+                       600.0)
+    cx, cy = jax.random.uniform(kop, (2,), minval=0.2 * res,
+                                maxval=0.8 * res)
+    rx, ry = jax.random.uniform(jax.random.fold_in(kop, 1), (2,),
+                                minval=0.10 * res, maxval=0.30 * res)
+    ell = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 < 1.0
+    occ_depth = mean_d * jax.random.uniform(
+        jax.random.fold_in(kocc, 1), (), minval=0.5, maxval=0.85)
+    occ_rgb = (jax.random.uniform(koc, (3,)) * 235.0 + 10.0
+               + (_smooth_noise(jax.random.fold_in(koc, 1), res, 3) - 0.5)
+               * 40.0)
+    hidden = (ell & obj).sum() / (valid + 1e-9)
+    use_occ = (jax.random.bernoulli(kocc, dr.occluder_prob)
+               & (hidden <= dr.max_occluded_frac))
+    # depth <= 100 means "no reading" — infinitely far for the z-test
+    far = jnp.where(out_depth > 100.0, out_depth, jnp.inf)
+    occ_wins = ell & (occ_depth < far) & use_occ
+    out_rgb = jnp.where(occ_wins[..., None], jnp.clip(occ_rgb, 0, 255),
+                        out_rgb)
+    out_depth = jnp.where(occ_wins, occ_depth, out_depth)
+    maskB = obj & ~occ_wins
+    return out_rgb, out_depth, maskB
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("batch_size", "resolution", "object_width_mm",
-                     "max_trans", "max_rot_deg", "xyz_range"),
+                     "max_trans", "max_rot_deg", "xyz_range", "dr"),
 )
 def _synth_batch(mesh, K, key, batch_size, resolution, object_width_mm,
-                 max_trans, max_rot_deg, xyz_range):
+                 max_trans, max_rot_deg, xyz_range, dr=None):
     kr, kt, kp = jax.random.split(key, 3)
     # Random observed pose B.
     w = se3.random_direction(kr, (batch_size,)) * jax.random.uniform(
@@ -276,7 +373,13 @@ def _synth_batch(mesh, K, key, batch_size, resolution, object_width_mm,
         return rgbA, depthA, rgbB, depthB
 
     rgbA, depthA, rgbB, depthB = jax.vmap(render_pair)(A_in_cam, B_in_cam)
-    maskB = depthB > 100.0
+    if dr is not None:
+        kdr = jax.random.split(jax.random.fold_in(key, 3), batch_size)
+        rgbB, depthB, maskB = jax.vmap(
+            lambda k, r, d: _dr_composite_one(k, r, d, dr)
+        )(kdr, rgbB, depthB)
+    else:
+        maskB = depthB > 100.0
     return {
         "rgbA": rgbA,
         "depthA": depthA,

@@ -49,6 +49,54 @@ def test_synth_batch_contents(synth):
     assert np.abs(np.array(r)).max() <= 1.0 + 1e-3
 
 
+def test_synth_batch_dr_composite(synth):
+    """On-device DR (dataset.DRComposite): background gets VALID sensor
+    depth + texture, occluder blobs z-composite in front, object pixels
+    that stay visible are bit-identical to the clean render, and maskB
+    becomes true visibility with the producer's >=50%-visible guarantee
+    (reference produce_train_pair_data.py:118-128)."""
+    from iros20_6d_pose_tracking_tpu.data.dataset import DRComposite
+
+    dr = SyntheticPairs(
+        synth.mesh, K, resolution=RES, object_width_mm=110.0,
+        xyz_range=synth.xyz_range,
+        dr=DRComposite(bg_prob=1.0, occluder_prob=1.0),
+    )
+    key = jax.random.PRNGKey(3)
+    clean = synth.sample_batch(key, 6)
+    hard = dr.sample_batch(key, 6)
+    # Same poses (DR only touches the B image).
+    np.testing.assert_allclose(clean["B_in_cam"], hard["B_in_cam"])
+    np.testing.assert_allclose(np.asarray(clean["rgbA"]),
+                               np.asarray(hard["rgbA"]))
+    obj = np.asarray(clean["depthB"]) > 100.0
+    vis = np.asarray(hard["maskB"])
+    depth_h = np.asarray(hard["depthB"])
+    rgb_h = np.asarray(hard["rgbB"])
+    # Background pixels carry valid (non-pinned) depth and texture.
+    bg = ~obj & (depth_h > 100.0)
+    assert bg.mean() > 0.2, "background depth should be filled"
+    # non-object pixels are either true background (>= bg_depth_range lo)
+    # or an occluder blob in front of it — all carry VALID depth
+    assert (depth_h[bg] > 100.0).all()
+    assert (depth_h[bg] >= 850.0 - 1e-3).mean() > 0.5
+    assert rgb_h[bg].std() > 5.0, "background should be textured"
+    # Visible-object pixels are the clean render, bit-identical.
+    np.testing.assert_array_equal(
+        np.where(vis[..., None], rgb_h, 0),
+        np.where(vis[..., None], np.asarray(clean["rgbB"]), 0))
+    np.testing.assert_array_equal(
+        np.where(vis, depth_h, 0),
+        np.where(vis, np.asarray(clean["depthB"]), 0))
+    # maskB is a subset of the object and mostly visible.
+    assert (vis <= obj).all()
+    per = vis.reshape(6, -1).sum(1) / np.maximum(
+        obj.reshape(6, -1).sum(1), 1)
+    assert (per >= 0.5 - 1e-6).all(), per
+    # Occluders actually fire somewhere in the batch.
+    assert (vis.sum() < obj.sum())
+
+
 @pytest.mark.slow
 def test_eval_step_padded_matches_unpadded(synth):
     """Padding the epoch-tail val batch (one compiled shape per epoch)
