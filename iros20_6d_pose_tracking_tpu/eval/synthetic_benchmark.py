@@ -1,0 +1,319 @@
+"""Closed-loop synthetic accuracy benchmark.
+
+The reference's accuracy evidence is the YCB-Video / YCBInEOAT tables
+(reference eval_ycb.py / eval_ycbineoat.py; README.md:53,89). That data
+cannot be fetched in this environment, so this module is the framework's
+self-contained accuracy harness: for each object it runs the FULL loop —
+on-device DR pair synthesis -> training -> tracking a rendered test video
+(optionally "hard": textured valid-depth background, a sweeping partial
+occluder, depth dropout) -> ADD / ADD-S AUC under the reference's VOCap
+protocol (eval/metrics.py, reference eval_ycb.py:45-64).
+
+Used by examples/demo_train_and_track.py (single object, CLI) and
+benchmarks/accuracy_suite.py (multi-object table).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..data import augment as A
+from ..data.dataset import DRComposite, SyntheticPairs
+from ..models import tracknet
+from ..render import mesh as M
+from ..render import rasterizer as rz
+from ..tracking import tracker as trk
+from ..train import trainer as tr
+from . import metrics as ME
+
+# YCB-Video camera intrinsics (reference dataset_info.yml camera block).
+YCB_K = np.array(
+    [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]],
+    np.float32,
+)
+
+OBJECTS = {
+    # face-colored cube: rotation observable in RGB and depth
+    "cube": lambda: M.make_cube(0.08),
+    # anisotropic box: distinct extents break rotational ambiguity
+    "box": lambda: M.make_box((0.10, 0.06, 0.035)),
+    # asymmetric L-bracket: thin arms, self-occlusion at grazing views
+    "lshape": lambda: M.make_lshape(),
+    # faceted icosahedron: near-round geometry, rotation mostly RGB-borne
+    "icosahedron": lambda: M.make_icosphere(subdiv=1, radius=0.05),
+}
+
+
+def default_impl() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+
+@dataclass
+class BenchObject:
+    """One trained tracker + its assets."""
+
+    name: str
+    tm: M.TriMesh
+    mesh: rz.MeshArrays
+    model: tracknet.Se3TrackNet
+    variables: dict
+    mean: jnp.ndarray
+    std: jnp.ndarray
+    width_mm: float
+    tcfg: trk.TrackerConfig
+    train_secs: float = 0.0
+    losses: list = field(default_factory=list)
+
+
+def train_object(
+    tm: M.TriMesh,
+    K=YCB_K,
+    *,
+    name: str = "object",
+    steps: int = 10_000,
+    batch: int = 32,
+    res: int = 176,
+    dr: DRComposite | None = None,
+    aug: A.AugmentConfig | None = None,
+    impl: str | None = None,
+    seed_offset: int = 0,
+    log=print,
+) -> BenchObject:
+    """Train Se3TrackNet on on-device synthetic pairs for one object.
+
+    Mirrors the reference recipe (train.py:85-165): pose-perturbation
+    pairs, photometric augmentation, mean/std pass, Adam. ``dr`` adds the
+    on-device scene randomization (data/dataset.py::DRComposite) that
+    stands in for the Blender DR stage."""
+    impl = impl or default_impl()
+    mesh = rz.upload(tm)
+    width = tm.diameter * 1000 * 1.1
+    cfg = tr.TrainConfig(
+        resolution=res, batch_size=batch, learning_rate=1e-3,
+        trans_normalizer=0.02, rot_normalizer=15 * np.pi / 180,
+        aug=aug if aug is not None else A.AugmentConfig(),
+    )
+    synth = SyntheticPairs(
+        mesh, K, resolution=res, object_width_mm=width,
+        max_trans=0.02, max_rot_deg=15.0,
+        xyz_range=((-0.12, 0.12), (-0.09, 0.09), (0.45, 0.85)),
+        dr=dr,
+    )
+    mean, std = tr.compute_mean_std(
+        (synth.sample_batch(jax.random.PRNGKey(900 + seed_offset + i), batch)
+         for i in range(4)),
+        cfg, max_samples=4 * batch,
+    )
+    model = tracknet.Se3TrackNet(image_size=res)
+    tx, _ = tr.make_optimizer(cfg, steps_per_epoch=10_000)
+    state = tr.create_train_state(model, cfg, tx,
+                                  jax.random.PRNGKey(seed_offset))
+    mean_j = jnp.asarray(mean, jnp.float32)
+    std_j = jnp.asarray(std, jnp.float32)
+
+    key = jax.random.PRNGKey(7 + seed_offset)
+    losses = []
+    t0 = time.time()
+    for i in range(steps):
+        raw = synth.sample_batch(jax.random.fold_in(key, i), batch)
+        state, m = tr.train_step(model, tx, cfg, state,
+                                 jax.random.fold_in(key, 10**6 + i), raw,
+                                 mean_j, std_j)
+        if i % 100 == 0 or i == steps - 1:
+            loss = float(m["loss"])
+            losses.append(loss)
+            log(f"[{name}] step {i}: loss={loss:.5f} "
+                f"trans={float(m['trans']):.5f} rot={float(m['rot']):.5f} "
+                f"({time.time() - t0:.0f}s)")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    tcfg = trk.TrackerConfig(
+        resolution=res, trans_normalizer=0.02,
+        rot_normalizer=15 * np.pi / 180, object_width_mm=width,
+        render_impl=impl,
+    )
+    return BenchObject(
+        name=name, tm=tm, mesh=mesh, model=model, variables=variables,
+        mean=mean_j, std=std_j, width_mm=width, tcfg=tcfg,
+        train_secs=time.time() - t0, losses=losses,
+    )
+
+
+def make_gt_trajectory(T: int, seed: int = 5,
+                       z0: float = 0.6) -> np.ndarray:
+    """(T, 4, 4) smooth random-walk camera-frame trajectory: 6 deg/frame
+    rotation, ~4 mm/frame translation with gentle direction changes —
+    the motion regime the 0.02 m / 15 deg normalizers cover."""
+    rng = np.random.RandomState(seed)
+    gt = [np.eye(4, dtype=np.float32)]
+    gt[0][:3, 3] = [0.0, 0.0, z0]
+    w_vel = rng.randn(3)
+    w_vel = w_vel / np.linalg.norm(w_vel) * np.deg2rad(6.0)
+    t_vel = np.array([0.004, -0.003, 0.005])
+    for i in range(1, T):
+        prev = gt[-1]
+        cur = prev.copy()
+        cur[:3, :3] = np.asarray(
+            se3.so3_exp(jnp.asarray(w_vel, jnp.float32))) @ prev[:3, :3]
+        if i % 15 == 0:
+            w_vel = rng.randn(3)
+            w_vel = w_vel / np.linalg.norm(w_vel) * np.deg2rad(6.0)
+            t_vel = rng.randn(3) * 0.004
+        cur[:3, 3] = prev[:3, 3] + t_vel
+        cur[2, 3] = np.clip(cur[2, 3], 0.45, 0.9)
+        gt.append(cur)
+    return np.stack(gt)
+
+
+def render_test_video(
+    mesh: rz.MeshArrays,
+    gt: np.ndarray,
+    K=YCB_K,
+    *,
+    hw=(480, 640),
+    hard: bool = False,
+    impl: str | None = None,
+    bg_seed: int = 11,
+    background: bool | None = None,
+    occluder: bool | None = None,
+    dropout: bool | None = None,
+):
+    """Render the observed RGB-D video for a gt trajectory.
+
+    ``hard`` builds the robustness scene: fixed textured background at
+    VALID sensor depth, an occluder sphere sweeping past (grazing the
+    object's edge — partial occlusion, the regime the DR training
+    composites cover), and per-frame depth dropout. The three factors
+    can also be toggled individually (for ablations)."""
+    background = hard if background is None else background
+    occluder = hard if occluder is None else occluder
+    dropout = hard if dropout is None else dropout
+    hard = background or occluder or dropout
+    impl = impl or default_impl()
+    H, W = hw
+    T = len(gt)
+    window = rz.full_frame_window(W, H)
+    Kj = jnp.asarray(K)
+
+    def render_frame(pose):
+        return rz.render(mesh, jnp.asarray(pose), Kj, window, out_hw=hw,
+                         impl=impl)
+
+    if not hard:
+        frames = [render_frame(gt[i]) for i in range(T)]
+        return (jnp.stack([f[0] for f in frames]),
+                jnp.stack([f[1] for f in frames]))
+
+    from ..datagen.pair_producer import _procedural_texture
+
+    occ = rz.upload(M.make_icosphere(subdiv=2, radius=0.018))
+    bg_rgb = jnp.asarray(
+        _procedural_texture(np.random.RandomState(bg_seed), H, W),
+        jnp.float32)
+    bg_depth = 1500.0
+
+    def render_hard(pose, i):
+        r_obj, d_obj = render_frame(pose)
+        do = jnp.where(d_obj > 0, d_obj, jnp.inf)
+        rgb, depth = r_obj, do
+        if occluder:
+            # occluder sweeps laterally, grazing the object's lower edge
+            # — partial (<~50%) occlusion (reference BlackCover keeps
+            # >=50% visible, data_augmentation.py:217-267)
+            phase = 2 * np.pi * i / 40.0
+            t_obj = pose[:3, 3]
+            occ_pose = np.eye(4, dtype=np.float32)
+            occ_pose[:3, 3] = t_obj * 0.62 + np.array(
+                [0.055 * np.cos(phase), 0.030 + 0.004 * np.sin(2 * phase),
+                 0.0], np.float32)
+            r_occ, d_occ = rz.render(occ, jnp.asarray(occ_pose), Kj,
+                                     window, out_hw=hw, impl=impl)
+            dc = jnp.where(d_occ > 0, d_occ, jnp.inf)
+            occ_wins = dc < do
+            rgb = jnp.where(occ_wins[..., None], r_occ, r_obj)
+            depth = jnp.minimum(do, dc)
+        hit = jnp.isfinite(depth)
+        if background:
+            rgb = jnp.where(hit[..., None], rgb, bg_rgb)
+            depth = jnp.where(hit, depth, bg_depth)
+        else:
+            rgb = jnp.where(hit[..., None], rgb, 0.0)
+            depth = jnp.where(hit, depth, 0.0)
+        if dropout:
+            drop = jax.random.bernoulli(
+                jax.random.PRNGKey(1000 + i), 0.03, depth.shape)
+            depth = jnp.where(drop, 0.0, depth)
+        return rgb, depth
+
+    frames = [render_hard(gt[i], i) for i in range(T)]
+    return (jnp.stack([f[0] for f in frames]),
+            jnp.stack([f[1] for f in frames]))
+
+
+def evaluate_tracking(obj: BenchObject, gt: np.ndarray, frames_rgb,
+                      frames_depth, K=YCB_K) -> dict:
+    """Track from gt[0] and score ADD / ADD-S per frame + VOCap AUC,
+    with the hold-init drift baseline for context."""
+    poses = trk.track_video(
+        obj.model, obj.tcfg, obj.variables, obj.mesh, jnp.asarray(K),
+        obj.mean, obj.std, jnp.asarray(gt[0]), frames_rgb[1:],
+        frames_depth[1:],
+    )
+    poses = np.concatenate([gt[:1], np.asarray(poses)], axis=0)
+    cloud = M.voxel_down_sample(obj.tm.verts, 0.005)
+    add, adi = ME.batch_errors(poses, gt, cloud)
+    base_add, _ = ME.batch_errors(np.tile(gt[:1], (len(gt), 1, 1)), gt,
+                                  cloud)
+    return {
+        "name": obj.name,
+        "poses": poses,
+        "add": add,
+        "adi": adi,
+        "add_auc": float(ME.vocap(add) * 100),
+        "adi_auc": float(ME.vocap(adi) * 100),
+        "add_mean_mm": float(add.mean() * 1000),
+        "add_max_mm": float(add.max() * 1000),
+        "final_trans_err_mm": float(
+            np.linalg.norm(poses[-1][:3, 3] - gt[-1][:3, 3]) * 1000),
+        "baseline_add_mean_mm": float(base_add.mean() * 1000),
+        "baseline_add_auc": float(ME.vocap(base_add) * 100),
+    }
+
+
+def run_suite(
+    object_names=("cube", "box", "lshape", "icosahedron"),
+    *,
+    steps: int = 10_000,
+    frames: int = 120,
+    batch: int = 32,
+    res: int = 176,
+    hard: bool = True,
+    impl: str | None = None,
+    log=print,
+) -> list[dict]:
+    """Train + track + score each object; returns per-object metric
+    dicts (the framework's accuracy table)."""
+    results = []
+    for idx, name in enumerate(object_names):
+        tm = OBJECTS[name]()
+        obj = train_object(
+            tm, name=name, steps=steps, batch=batch, res=res,
+            dr=DRComposite() if hard else None, impl=impl,
+            seed_offset=idx, log=log,
+        )
+        gt = make_gt_trajectory(frames)
+        frames_rgb, frames_depth = render_test_video(
+            obj.mesh, gt, hard=hard, impl=impl)
+        r = evaluate_tracking(obj, gt, frames_rgb, frames_depth)
+        r["train_secs"] = obj.train_secs
+        r.pop("poses")
+        log(f"[{name}] ADD AUC {r['add_auc']:.2f} "
+            f"ADD-S AUC {r['adi_auc']:.2f} "
+            f"mean {r['add_mean_mm']:.1f}mm "
+            f"(hold-init {r['baseline_add_mean_mm']:.1f}mm)")
+        results.append(r)
+    return results

@@ -1,0 +1,71 @@
+"""Synthetic accuracy benchmark harness (eval/synthetic_benchmark.py):
+object factories, trajectory/video generation, and the tiny-scale
+train->track->score loop the demo and benchmarks/accuracy_suite.py use."""
+import numpy as np
+import jax
+import pytest
+
+from iros20_6d_pose_tracking_tpu.eval import synthetic_benchmark as SB
+from iros20_6d_pose_tracking_tpu.render import mesh as M
+from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+
+K = np.array([[250.0, 0, 32.0], [0, 250.0, 32.0], [0, 0, 1.0]], np.float32)
+# small-frame intrinsics: YCB_K's principal point (312, 241) lies outside
+# tiny test frames, so videos/tracking here use this instead
+K_SMALL = np.array([[60.0, 0, 32.0], [0, 60.0, 24.0], [0, 0, 1.0]],
+                   np.float32)
+
+
+def test_object_factories_render():
+    """Every suite object builds, uploads, and renders something."""
+    for name, factory in SB.OBJECTS.items():
+        tm = factory()
+        assert tm.num_faces > 0, name
+        mesh = rz.upload(tm)
+        import jax.numpy as jnp
+
+        pose = jnp.eye(4).at[2, 3].set(0.5)
+        _, depth = rz.render(mesh, pose, jnp.asarray(K),
+                             rz.full_frame_window(64, 64), out_hw=(64, 64))
+        assert float(depth.max()) > 0, f"{name} renders nothing"
+
+
+def test_gt_trajectory_stays_in_range():
+    gt = SB.make_gt_trajectory(40, seed=1)
+    assert gt.shape == (40, 4, 4)
+    z = gt[:, 2, 3]
+    assert (z >= 0.45 - 1e-6).all() and (z <= 0.9 + 1e-6).all()
+    # per-frame deltas stay inside the 0.02 m / 15 deg normalizers
+    dt = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1)
+    assert dt.max() < 0.02
+
+
+def test_hard_video_has_background_and_occlusion():
+    mesh = rz.upload(M.make_cube(0.08))
+    gt = SB.make_gt_trajectory(6)
+    rgb_c, depth_c = SB.render_test_video(mesh, gt, K=K_SMALL,
+                                          hw=(48, 64), hard=False,
+                                          impl="xla")
+    rgb_h, depth_h = SB.render_test_video(mesh, gt, K=K_SMALL,
+                                          hw=(48, 64), hard=True,
+                                          impl="xla")
+    assert rgb_c.shape == rgb_h.shape == (6, 48, 64, 3)
+    d_c, d_h = np.asarray(depth_c), np.asarray(depth_h)
+    # clean background is empty; hard background carries valid depth
+    assert (d_c[0] > 0).any() and (d_c[0][d_c[0] > 0] < 1200).all()
+    assert (d_h > 1200).mean() > 0.3
+
+
+@pytest.mark.slow
+def test_tiny_suite_end_to_end():
+    """A miniature run of the full accuracy loop on CPU."""
+    obj = SB.train_object(M.make_cube(0.08), K=K_SMALL, name="cube",
+                          steps=3, batch=4, res=48, impl="xla",
+                          log=lambda *a: None)
+    gt = SB.make_gt_trajectory(4)
+    fr, fd = SB.render_test_video(obj.mesh, gt, K=K_SMALL, hw=(48, 64),
+                                  hard=True, impl="xla")
+    r = SB.evaluate_tracking(obj, gt, fr, fd, K=K_SMALL)
+    for k in ("add_auc", "adi_auc", "add_mean_mm", "baseline_add_mean_mm"):
+        assert np.isfinite(r[k]), k
+    assert r["add"].shape == (4,)
