@@ -6,8 +6,9 @@ For each object: on-device DR training -> hard-video tracking (textured
 valid-depth background, sweeping partial occluder, depth dropout) ->
 ADD / ADD-S VOCap AUC. Writes a JSON table + a markdown summary.
 
-Run (TPU, ~12 min/object at default steps):
-    python benchmarks/accuracy_suite.py --steps 10000 --frames 120 \
+Run (TPU, ~17 min/object at default steps — batch 200 x 5k steps
+= 1M DR pairs/object, the measured convergence scale for hard videos):
+    python benchmarks/accuracy_suite.py --steps 5000 --frames 120 \
         --out benchmarks/accuracy_suite_results.json
 """
 import argparse
@@ -22,9 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--objects", default="cube,box,lshape,icosahedron")
-    p.add_argument("--steps", type=int, default=10_000)
+    p.add_argument("--steps", type=int, default=5_000)
     p.add_argument("--frames", type=int, default=120)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=200)
     p.add_argument("--res", type=int, default=176)
     p.add_argument("--clean", action="store_true",
                    help="clean test videos (no background/occluder)")

@@ -19,8 +19,13 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=1500)
-    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="default 1500 (clean) / 5000 (--hard)")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="default 32 (clean) / 200 (--hard): hard "
+                             "mode needs ~1M DR pairs to converge and "
+                             "the fused on-device step makes batch 200 "
+                             "cheap")
     parser.add_argument("--frames", type=int, default=60)
     parser.add_argument("--outdir", default="demo_out")
     parser.add_argument("--hard", action="store_true",
@@ -38,11 +43,15 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
 
+    steps = args.steps or (5000 if args.hard else 1500)
+    batch = args.batch or (200 if args.hard else 32)
+
     # A face-colored cube: rotation is observable from both RGB and depth
     # (a sphere's rotation is depth-invisible and drifts by construction).
     obj = SB.train_object(
-        M.make_cube(0.08), name="cube", steps=args.steps, batch=args.batch,
+        M.make_cube(0.08), name="cube", steps=steps, batch=batch,
         dr=DRComposite() if args.hard else None,
+        aug=SB.hard_aug() if args.hard else None,
     )
     gt = SB.make_gt_trajectory(args.frames)
     frames_rgb, frames_depth = SB.render_test_video(

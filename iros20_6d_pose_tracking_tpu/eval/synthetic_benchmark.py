@@ -284,25 +284,38 @@ def evaluate_tracking(obj: BenchObject, gt: np.ndarray, frames_rgb,
     }
 
 
+def hard_aug() -> A.AugmentConfig:
+    """Augmentation stack for DR training: the reference set plus depth
+    dropout (depth_missing_prob, off in reference training) — measured
+    as the single worst unseen corruption on hard videos."""
+    return A.AugmentConfig(depth_missing_prob=0.15)
+
+
 def run_suite(
     object_names=("cube", "box", "lshape", "icosahedron"),
     *,
-    steps: int = 10_000,
+    steps: int = 5_000,
     frames: int = 120,
-    batch: int = 32,
+    batch: int = 200,
     res: int = 176,
     hard: bool = True,
     impl: str | None = None,
     log=print,
 ) -> list[dict]:
     """Train + track + score each object; returns per-object metric
-    dicts (the framework's accuracy table)."""
+    dicts (the framework's accuracy table).
+
+    Defaults are the measured recipe: batch 200 (the reference's
+    config.yml:19 batch, which the fused on-device step makes cheap) for
+    5k steps = 1M DR pairs per object — the scale at which hard-video
+    tracking converges (batch-32 runs drift)."""
     results = []
     for idx, name in enumerate(object_names):
         tm = OBJECTS[name]()
         obj = train_object(
             tm, name=name, steps=steps, batch=batch, res=res,
-            dr=DRComposite() if hard else None, impl=impl,
+            dr=DRComposite() if hard else None,
+            aug=hard_aug() if hard else None, impl=impl,
             seed_offset=idx, log=log,
         )
         gt = make_gt_trajectory(frames)
