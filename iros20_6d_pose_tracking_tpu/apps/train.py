@@ -27,7 +27,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..data import augment as A
-    from ..data.dataset import PairDataset, SyntheticPairs
+    from ..data.dataset import DRComposite, PairDataset, SyntheticPairs
     from ..models import tracknet
     from ..train import trainer as tr
     from ..train import checkpoint as ck
@@ -38,6 +38,13 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--synthetic", action="store_true",
                         help="train from the on-device pair renderer")
+    parser.add_argument("--dr", action="store_true",
+                        help="with --synthetic: composite the observed "
+                             "branch over randomized valid-depth "
+                             "backgrounds + occluders on device "
+                             "(data/dataset.py::DRComposite) — the "
+                             "robustness recipe the reference gets from "
+                             "Blender DR scenes")
     parser.add_argument("--model_path", default=None,
                         help="mesh for --synthetic mode")
     parser.add_argument("--epochs", type=int, default=None)
@@ -81,6 +88,7 @@ def main(argv=None):
             rz.upload(mesh), cam.K, resolution=res, object_width_mm=width,
             max_trans=cfg.trans_normalizer,
             max_rot_deg=float(dataset_info["max_rotation"]),
+            dr=DRComposite() if args.dr else None,
         )
         spe = int(dataset_info.get("train_samples", 200000)) // cfg.batch_size
         val_batches_n = max(1, int(dataset_info.get("val_samples", 2000))

@@ -218,7 +218,7 @@ def test_train_cli_synthetic(fixture_root, tmp_path):
     train_app.main([
         "--config", str(cfg_path), "--output_path", str(outdir),
         "--synthetic", "--model_path", str(fixture_root / "object.obj"),
-        "--epochs", "1",
+        "--epochs", "1", "--dr",
     ])
     files = set(os.listdir(outdir))
     assert {"mean.npy", "std.npy", "dataset_info.yml", "config_backup.yml",
