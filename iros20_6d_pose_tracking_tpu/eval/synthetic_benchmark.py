@@ -324,6 +324,9 @@ def run_suite(
         r = evaluate_tracking(obj, gt, frames_rgb, frames_depth)
         r["train_secs"] = obj.train_secs
         r.pop("poses")
+        # JSON-serializable per-frame curves
+        r["add"] = [float(v) for v in r["add"]]
+        r["adi"] = [float(v) for v in r["adi"]]
         log(f"[{name}] ADD AUC {r['add_auc']:.2f} "
             f"ADD-S AUC {r['adi_auc']:.2f} "
             f"mean {r['add_mean_mm']:.1f}mm "
