@@ -27,9 +27,11 @@ Subpackages mirror the reference's logical layers (SURVEY.md section 1):
             pipelined live StreamTracker (windowed uint8 uploads,
             device-resident pose), chunked bounded-memory video scan,
             multi-hypothesis + track-health
-  data      pair dataset IO + augmentation pipeline
+  data      pair dataset IO + augmentation pipeline + on-device
+            synthetic pairs with DR compositing (DRComposite)
   train     trainer (Adam + MultiStep schedule), checkpoint/resume
-  eval      ADD/ADD-S/VOCap metrics + YCB/YCBInEOAT drivers
+  eval      ADD/ADD-S/VOCap metrics + YCB/YCBInEOAT drivers +
+            closed-loop synthetic accuracy harness (synthetic_benchmark)
   datagen   synthetic pair production (reference produce_train_pair_data.py)
   parallel  device-mesh helpers, sharded train/track steps (dp x obj
             ensembles; SP face-sharded low-latency render)
