@@ -193,6 +193,15 @@ def test_backface_cull_output_identical():
         bad = np.abs(np.array(rgb1) - np.array(rgb0)).max(axis=-1) > 2.0
         assert bad.mean() < 1e-3, f"{bad.sum()} rgb pixels changed"
         assert (np.array(d1) > 0).sum() > 100
+        # XLA path: mask-only cull (no compaction) must also be
+        # output-identical.
+        rgb2, d2 = Rz.render(mesh, pose, jnp.array(K), win, out_hw=(96, 96),
+                             impl="xla", cull_backfaces=True)
+        rgb3, d3 = Rz.render(mesh, pose, jnp.array(K), win, out_hw=(96, 96),
+                             impl="xla", cull_backfaces=False)
+        np.testing.assert_allclose(np.array(d2), np.array(d3), atol=0.01)
+        bad = np.abs(np.array(rgb2) - np.array(rgb3)).max(axis=-1) > 2.0
+        assert bad.mean() < 1e-3, f"{bad.sum()} xla rgb pixels changed"
 
 
 def test_worklist_kernel_matches_default():
