@@ -307,6 +307,35 @@ def main():
     )
     hz_bf16 = bench_scan(b, "bf16", model=model_bf16, cfg=cfg_bf16)
 
+    # Production-config row: decimate the flagship mesh to ~2k faces (a
+    # 176^2 ROI resolves ~2k faces; rasterization is linear in face
+    # count — render/mesh.py::decimate, the Tracker(max_faces=...) lever).
+    hz_decim = 0.0
+    try:
+        from iros20_6d_pose_tracking_tpu.render import mesh as M
+        from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+
+        tm_d = M.build_trimesh(*M.decimate(
+            *(lambda t: (t.verts, t.faces[: t.num_faces], t.colors))(
+                M.make_icosphere(subdiv=4, radius=0.05)), 2048))
+        from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+        b_d = types.SimpleNamespace(**vars(b))
+        b_d.mesh = rz.upload(tm_d)
+        real_d = tm_d.faces[: tm_d.num_faces]
+        cull_d = M.is_closed(tm_d.verts, real_d) and M.is_outward_oriented(
+            tm_d.verts, real_d, tm_d.normals)
+        b_d.cfg = trk.TrackerConfig(
+            resolution=b.cfg.resolution,
+            object_width_mm=b.cfg.object_width_mm,
+            render_impl="pallas", cull_backfaces=cull_d,
+        )
+        log(f"decimated mesh: {tm_d.num_faces} faces "
+            f"(padded {tm_d.faces.shape[0]}, cull={cull_d})")
+        hz_decim = bench_scan(b_d, f"f32/{tm_d.num_faces}f")
+    except Exception as e:
+        log(f"decimated bench failed (non-fatal): {e}")
+
     host_hz = bench_host_loop(b)
 
     flops = step_flops(b)
@@ -322,6 +351,7 @@ def main():
         "unit": "Hz",
         "vs_baseline": round(hz / BASELINE_HZ, 3),
         "tracking_hz_bf16": round(hz_bf16, 2),
+        "tracking_hz_decimated_2k": round(hz_decim, 2),
         "tracking_hz_host_loop": round(host_hz, 2),
         "host_loop_vs_baseline": round(host_hz / BASELINE_HZ, 3),
         "step_gflops": round(flops / 1e9, 3),
