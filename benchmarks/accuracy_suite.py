@@ -34,10 +34,16 @@ def main():
 
     from iros20_6d_pose_tracking_tpu.eval import synthetic_benchmark as SB
 
+    def checkpoint_results(partial):
+        # persist after every object: a crash or typo late in a multi-hour
+        # run must not discard finished rows
+        with open(args.out + ".partial", "w") as f:
+            json.dump(partial, f, indent=2)
+
     results = SB.run_suite(
         tuple(args.objects.split(",")),
         steps=args.steps, frames=args.frames, batch=args.batch,
-        res=args.res, hard=not args.clean,
+        res=args.res, hard=not args.clean, on_result=checkpoint_results,
     )
     payload = {
         "protocol": "VOCap AUC @0.1m (reference eval_ycb.py:45-64), "

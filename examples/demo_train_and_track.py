@@ -43,8 +43,10 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
 
-    steps = args.steps or (5000 if args.hard else 1500)
-    batch = args.batch or (200 if args.hard else 32)
+    steps = args.steps if args.steps is not None else (
+        5000 if args.hard else 1500)
+    batch = args.batch if args.batch is not None else (
+        200 if args.hard else 32)
 
     # A face-colored cube: rotation is observable from both RGB and depth
     # (a sphere's rotation is depth-invisible and drifts by construction).

@@ -50,6 +50,10 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--bf16", action="store_true")
     args = parser.parse_args(argv)
+    if args.dr and not args.synthetic:
+        parser.error("--dr requires --synthetic (DR compositing happens "
+                     "in the on-device pair sampler; disk datasets carry "
+                     "their own backgrounds)")
 
     with open(args.config) as f:
         config = yaml.safe_load(f)

@@ -50,7 +50,14 @@ OBJECTS = {
 
 
 def default_impl() -> str:
-    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    """Same renderer auto-selection as the production Tracker."""
+    return trk.default_render_impl()
+
+
+def _print_flush(*a):
+    """Default progress logger: line-buffered even when stdout is a pipe
+    (a suite run is hours; block-buffered print looks hung under tee)."""
+    print(*a, flush=True)
 
 
 @dataclass
@@ -82,7 +89,7 @@ def train_object(
     aug: A.AugmentConfig | None = None,
     impl: str | None = None,
     seed_offset: int = 0,
-    log=print,
+    log=_print_flush,
 ) -> BenchObject:
     """Train Se3TrackNet on on-device synthetic pairs for one object.
 
@@ -300,7 +307,8 @@ def run_suite(
     res: int = 176,
     hard: bool = True,
     impl: str | None = None,
-    log=print,
+    log=_print_flush,
+    on_result=None,
 ) -> list[dict]:
     """Train + track + score each object; returns per-object metric
     dicts (the framework's accuracy table).
@@ -309,6 +317,10 @@ def run_suite(
     config.yml:19 batch, which the fused on-device step makes cheap) for
     5k steps = 1M DR pairs per object — the scale at which hard-video
     tracking converges (batch-32 runs drift)."""
+    unknown = [n for n in object_names if n not in OBJECTS]
+    if unknown:  # fail BEFORE hours of training, not at the bad name
+        raise KeyError(
+            f"unknown object(s) {unknown}; available: {sorted(OBJECTS)}")
     results = []
     for idx, name in enumerate(object_names):
         tm = OBJECTS[name]()
@@ -332,4 +344,6 @@ def run_suite(
             f"mean {r['add_mean_mm']:.1f}mm "
             f"(hold-init {r['baseline_add_mean_mm']:.1f}mm)")
         results.append(r)
+        if on_result is not None:  # incremental persistence for long runs
+            on_result(list(results))
     return results

@@ -341,14 +341,14 @@ def build_trimesh(
     ``block`` is the face-count padding granule, which also bounds the
     Pallas kernel's face-block choice (rasterizer.pick_face_block needs
     fb | F). 1024-face blocks are ~2.2x cheaper per (pixel, face) pair
-    than 256 (docs/KERNEL.md), so meshes past ~512 real faces default to
+    than 256 (docs/KERNEL.md), so meshes past 512 real faces default to
     1024-granule padding — measured: 1280 real faces 688 -> 716 Hz,
     2086 faces 654 -> 721 Hz tracking. Tiny meshes keep the fine granule
     (padding a 12-face cube to 1024 would be 4x wasted pass-1 work)."""
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int32)
     if block is None:
-        block = 1024 if len(faces) >= 512 else FACE_BLOCK
+        block = 1024 if len(faces) > 512 else FACE_BLOCK
     if colors is None:
         colors = np.full((len(verts), 3), 0.7, np.float32)
     if normals is None:

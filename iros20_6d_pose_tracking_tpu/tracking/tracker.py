@@ -56,6 +56,15 @@ class TrackerConfig:
                                             # ~halves pass-1 raster work
 
 
+def default_render_impl() -> str:
+    """Auto renderer selection: the Pallas kernel on the TPU backend
+    (render/pallas_raster.py), the XLA path everywhere else (CPU
+    hosts/tests, GPU backends where pltpu cannot lower). The single
+    source of truth — Tracker and eval/synthetic_benchmark both use it.
+    """
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def pack_channels(rgb, depth):
     """RGB (H,W,3) + depth (H,W) -> (H,W,4) float32 (reference
     data_augmentation.py:175-196 ToTensor, NHWC instead of CHW)."""
@@ -275,11 +284,8 @@ class Tracker:
             object_width = max_width * (1.0 + pad / 100.0)
         self.object_width = object_width
 
-        # Auto renderer selection: the Pallas kernel on TPU
-        # (render/pallas_raster.py), the XLA path everywhere else
-        # (CPU hosts/tests, GPU backends where pltpu cannot lower).
         if render_impl is None:
-            render_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            render_impl = default_render_impl()
         # Watertight meshes with OUTWARD shading normals get backface
         # culling for free (output-identical, ~1.4x faster pass 1 —
         # rasterizer.py cull). Inward-normal exports must not auto-cull:

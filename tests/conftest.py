@@ -16,9 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # timeout_seconds=40). On a contended 1-core host the 8 virtual devices'
 # threads can legitimately take longer to all arrive — raise the
 # termination timeouts so slowness degrades to a warning, not an abort.
-if "collective_call_terminate" not in flags:
-    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
-              " --xla_cpu_collective_timeout_seconds=600")
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    flags += " --xla_cpu_collective_timeout_seconds=600"
 os.environ["XLA_FLAGS"] = flags
 
 # On low-core machines the PJRT CPU client sizes its worker pool from
