@@ -13,6 +13,12 @@ bench:           ## single-chip tracking benchmark (one JSON line on stdout)
 demo:            ## end-to-end train + track on synthetic data
 	python examples/demo_train_and_track.py
 
+demo-hard:       ## DR training + hard-video tracking (~20 min on TPU)
+	python examples/demo_train_and_track.py --hard --frames 120 --outdir demo_out_hard
+
+accuracy:        ## 4-object hard-video ADD/ADD-S table (~70 min on TPU)
+	python benchmarks/accuracy_suite.py
+
 native:          ## build the C++ data-loading runtime
 	python -c "from iros20_6d_pose_tracking_tpu.native.dataload import build; print(build())"
 
