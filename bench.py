@@ -129,6 +129,42 @@ def bench_scan(b, dtype_label="f32", T=100, model=None, cfg=None):
     return hz
 
 
+def bench_chunked(b, T=2000, chunk=100):
+    """Long-video bounded-memory path: Tracker.track_video_chunked over a
+    2000-frame 640x480 sequence (a real YCB video's scale — 7+ GB if
+    preloaded as f32, reference predict.py:529-534 streams instead). HBM
+    residency stays at chunk_size x (uint8 RGB + uint16 depth) ~ 150 MB;
+    the frame source is a broadcast view, so host RAM stays flat too.
+    chunk=100 deliberately matches bench_scan's T so the already-compiled
+    scan program is reused (a fresh shape costs minutes on the remote
+    compile service)."""
+    from iros20_6d_pose_tracking_tpu.tracking.tracker import Tracker
+
+    t = Tracker.__new__(Tracker)
+    t.model, t.cfg, t.variables = b.model, b.cfg, b.variables
+    t.mesh, t.K, t.mean, t.std = b.mesh, b.K, b.mean, b.std
+    rgb = np.broadcast_to(b.rgb_u8, (T,) + b.rgb_u8.shape)
+    depth = np.broadcast_to(b.depth_u16, (T,) + b.depth_u16.shape)
+    pose0 = np.asarray(b.pose)
+
+    # One timed pass (the scan program is already compiled by bench_scan;
+    # a warmup pass would double the multi-minute tunnel transfer time).
+    t0 = time.perf_counter()
+    poses = t.track_video_chunked(pose0, rgb, depth, chunk_size=chunk)
+    dt = time.perf_counter() - t0
+    assert poses.shape == (T, 4, 4)
+    assert np.isfinite(poses).all()
+    hz = T / dt
+    mb = T * (b.rgb_u8.nbytes + b.depth_u16.nbytes) / 1e6
+    log(f"chunked[{T}fr/{chunk}]: {hz:.1f} Hz end-to-end. NOTE: this is "
+        f"TRANSFER-bound on the axon tunnel ({mb / dt:.0f} MB/s effective "
+        f"H2D for full 640x480 frames); the device compute per chunk is "
+        f"scan-speed, and HBM residency stays bounded at "
+        f"~{chunk * (b.rgb_u8.nbytes + b.depth_u16.nbytes) / 1e6:.0f} MB "
+        f"regardless of video length — the claim this row evidences.")
+    return hz
+
+
 def bench_host_loop(b, n=300):
     """Live per-frame loop: windowed packed uint8 upload + async dispatch,
     pose fetched once at the end (deployment consumers read poses with
@@ -364,6 +400,12 @@ def main():
         out["tracking_hz_aggregate_8video"] = round(agg, 1)
     except Exception as e:
         log(f"multi-video bench failed (non-fatal): {e}")
+
+    try:
+        out["tracking_hz_chunked_2000frames_tunnel_bound"] = round(
+            bench_chunked(b), 1)
+    except Exception as e:
+        log(f"chunked bench failed (non-fatal): {e}")
 
     try:
         sps, train_flops, tbatch = bench_train(b)
