@@ -20,7 +20,7 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=None,
-                        help="default 1500 (clean) / 5000 (--hard)")
+                        help="default 2500 (clean) / 5000 (--hard)")
     parser.add_argument("--batch", type=int, default=None,
                         help="default 32 (clean) / 200 (--hard): hard "
                              "mode needs ~1M DR pairs to converge and "
@@ -44,7 +44,7 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
 
     steps = args.steps if args.steps is not None else (
-        5000 if args.hard else 1500)
+        5000 if args.hard else 2500)
     batch = args.batch if args.batch is not None else (
         200 if args.hard else 32)
 
