@@ -48,6 +48,14 @@ def build(res=176):
     from iros20_6d_pose_tracking_tpu.render import mesh as M
     from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
     from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+    from iros20_6d_pose_tracking_tpu.utils.cache import (
+        enable_persistent_cache)
+
+    # Persistent XLA cache: this process seeds it; the warm-probe
+    # subprocess (and any later deployment process) replays the
+    # executables instead of cold-compiling.
+    cache_dir = enable_persistent_cache()
+    log(f"persistent cache: {cache_dir}")
 
     # Flagship mesh: subdiv-4 icosphere (5120 faces / 2562 verts), a
     # realistic decimated-CAD budget for 176x176 ROI rendering.
@@ -115,8 +123,11 @@ def bench_scan(b, dtype_label="f32", T=100, model=None, cfg=None):
     )
     t0 = time.perf_counter()
     np.asarray(run())
+    first_call = time.perf_counter() - t0
     log(f"scan[{dtype_label}] first call (compile + {T} frames): "
-        f"{time.perf_counter() - t0:.2f}s")
+        f"{first_call:.2f}s")
+    if dtype_label == "warm-probe":
+        return first_call
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -140,9 +151,8 @@ def bench_chunked(b, T=2000, chunk=100):
     compile service)."""
     from iros20_6d_pose_tracking_tpu.tracking.tracker import Tracker
 
-    t = Tracker.__new__(Tracker)
-    t.model, t.cfg, t.variables = b.model, b.cfg, b.variables
-    t.mesh, t.K, t.mean, t.std = b.mesh, b.K, b.mean, b.std
+    t = Tracker.from_parts(b.model, b.cfg, b.variables, b.mesh, b.K,
+                           b.mean, b.std)
     rgb = np.broadcast_to(b.rgb_u8, (T,) + b.rgb_u8.shape)
     depth = np.broadcast_to(b.depth_u16, (T,) + b.depth_u16.shape)
     pose0 = np.asarray(b.pose)
@@ -323,12 +333,34 @@ def step_flops(b):
         return 0.0
 
 
+def warm_probe():
+    """First-call latency in a FRESH process with the persistent cache
+    already seeded by this one — the number a robot integrator sees on
+    every process start after the first (VERDICT r2 next-step #4)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--warm-probe"],
+        capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"warm probe failed: {r.stderr[-500:]}")
+    return float(json.loads(r.stdout.strip().splitlines()[-1])
+                 ["first_call_s"])
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from iros20_6d_pose_tracking_tpu.models import tracknet
     from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+    if "--warm-probe" in sys.argv:
+        b = build()
+        t = bench_scan(b, "warm-probe")
+        print(json.dumps({"first_call_s": round(t, 3)}))
+        return
 
     log(f"devices: {jax.devices()}")
     b = build()
@@ -406,6 +438,14 @@ def main():
             bench_chunked(b), 1)
     except Exception as e:
         log(f"chunked bench failed (non-fatal): {e}")
+
+    try:
+        warm = warm_probe()
+        out["first_call_warm_s"] = round(warm, 3)
+        log(f"warm-start probe (fresh process, persistent cache): "
+            f"first tracked scan call {warm:.2f}s")
+    except Exception as e:
+        log(f"warm probe failed (non-fatal): {e}")
 
     try:
         sps, train_flops, tbatch = bench_train(b)

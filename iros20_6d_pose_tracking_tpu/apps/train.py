@@ -31,6 +31,9 @@ def main(argv=None):
     from ..models import tracknet
     from ..train import trainer as tr
     from ..train import checkpoint as ck
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # warm start across restarts/resumes
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", default="config.yml")

@@ -301,8 +301,17 @@ def _dr_composite_one(key, rgbB, depthB, dr: "DRComposite"):
     obj = depthB > 100.0
 
     # --- background: textured RGB + tilted-plane depth (valid range) ----
+    # The depth floor is derived from the OBJECT's mean depth (+ margin):
+    # background pixels never z-fight the object, so the composite cannot
+    # produce a background plane nearer than the object it fails to
+    # occlude (physically impossible orderings confuse depth features).
     lo, hi = dr.bg_depth_range
     bg_rgb = _smooth_noise(kbg, res, 3) * 255.0
+    n_obj = obj.sum()
+    obj_mean_d = jnp.where(n_obj > 0,
+                           (depthB * obj).sum() / (n_obj + 1e-9), 600.0)
+    lo = jnp.maximum(lo, obj_mean_d + 120.0)
+    hi = jnp.maximum(hi, lo + 100.0)
     base = jax.random.uniform(kbd, (), minval=lo, maxval=hi)
     gx, gy = jax.random.uniform(jax.random.fold_in(kbd, 1), (2,),
                                 minval=-1.5, maxval=1.5)

@@ -239,8 +239,18 @@ class Tracker:
         max_faces: int | None = None,
         render_impl: str | None = None,
         cull_backfaces: bool | None = None,
+        persistent_cache: bool = True,
     ):
         from ..render import mesh as mesh_mod
+
+        if persistent_cache:
+            # Deployment warm start: later processes replay this process's
+            # XLA executables instead of paying the multi-second first-call
+            # compile (utils/cache.py; opt out with persistent_cache=False
+            # or JAX_NO_PERSISTENT_CACHE=1).
+            from ..utils.cache import enable_persistent_cache
+
+            enable_persistent_cache()
 
         self.dataset_info = dataset_info
         res = int(dataset_info["resolution"])
@@ -262,8 +272,18 @@ class Tracker:
             # Rasterization cost is linear in face count; production CAD
             # scans usually carry far more triangles than a 176x176 ROI
             # resolves. Width/ADD points still come from the FULL mesh.
+            colors = mesh.colors
+            if mesh.texture is not None and mesh.face_uvs is not None:
+                # decimate() merges vertices across UV seams, so the
+                # per-corner UV pipeline no longer applies — bake the
+                # texture to vertex colors first (lossy but keeps the A
+                # branch's appearance; undecimated textured meshes keep
+                # full perspective-correct texture sampling).
+                colors = mesh_mod.bake_texture_to_colors(
+                    mesh.verts, mesh.faces[: mesh.num_faces],
+                    mesh.face_uvs[: mesh.num_faces], mesh.texture)
             v, f, c = mesh_mod.decimate(
-                mesh.verts, mesh.faces[: mesh.num_faces], mesh.colors,
+                mesh.verts, mesh.faces[: mesh.num_faces], colors,
                 max_faces,
             )
             render_mesh = mesh_mod.build_trimesh(v, f, c)
@@ -323,6 +343,30 @@ class Tracker:
         self.prev_rgb = None
         self.prev_depth = None
 
+    @classmethod
+    def from_parts(cls, model, cfg: TrackerConfig, variables, mesh, K,
+                   mean, std):
+        """Assemble a Tracker from prebuilt pieces (benchmarks, tests,
+        programmatic pipelines that never touch dataset_info/files).
+        Keeps every __init__-established invariant in one place instead
+        of callers hand-setting attributes via ``__new__``."""
+        t = cls.__new__(cls)
+        t.dataset_info = None
+        t.model = model
+        t.cfg = cfg
+        t.variables = variables
+        t.mesh = mesh
+        t.trimesh = None
+        t.K = jnp.asarray(K, jnp.float32)
+        t.object_width = cfg.object_width_mm
+        t.mean = jnp.asarray(mean, jnp.float32)
+        t.std = jnp.asarray(std, jnp.float32)
+        t.frame_cnt = 0
+        t.errs = []
+        t.prev_rgb = None
+        t.prev_depth = None
+        return t
+
     def on_track(
         self,
         prev_pose: np.ndarray,
@@ -353,8 +397,8 @@ class Tracker:
                 self.model, self.cfg, self.variables, self.mesh, self.K,
                 self.mean, self.std,
                 jnp.asarray(prev_pose, jnp.float32),
-                jnp.asarray(current_rgb, jnp.float32),
-                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(current_rgb),   # uint8 stays uint8 over the
+                jnp.asarray(depth),         # wire, same as samples=1
                 jax.random.PRNGKey(self.frame_cnt),
                 samples=samples,
             )

@@ -197,7 +197,8 @@ def test_predict_cli_ycbineoat(fixture_root, tmp_path):
 
 
 @pytest.mark.slow
-def test_train_cli_synthetic(fixture_root, tmp_path):
+@pytest.mark.parametrize("dr", [False, True], ids=["plain", "dr"])
+def test_train_cli_synthetic(fixture_root, tmp_path, dr):
     from iros20_6d_pose_tracking_tpu.apps import train as train_app
 
     cfg = {
@@ -218,8 +219,8 @@ def test_train_cli_synthetic(fixture_root, tmp_path):
     train_app.main([
         "--config", str(cfg_path), "--output_path", str(outdir),
         "--synthetic", "--model_path", str(fixture_root / "object.obj"),
-        "--epochs", "1", "--dr",
-    ])
+        "--epochs", "1",
+    ] + (["--dr"] if dr else []))
     files = set(os.listdir(outdir))
     assert {"mean.npy", "std.npy", "dataset_info.yml", "config_backup.yml",
             "checkpoint_last.msgpack"} <= files
