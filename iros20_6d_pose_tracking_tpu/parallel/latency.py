@@ -56,7 +56,12 @@ def sp_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 def shard_mesh_faces(mesh_arrays: rz.MeshArrays, mesh: Mesh) -> rz.MeshArrays:
     """Pad the face soup so every shard holds a multiple of 1024 faces and
     place it sharded on 'sp' (leading face axis). Padding faces carry
-    fmask=False, the same poisoning the single-chip path uses."""
+    fmask=False, the same poisoning the single-chip path uses.
+
+    Texture/UV fields are dropped: the SP render path shades vertex
+    colors only (the psum'd attribute-row protocol is fixed at 30
+    columns). Bake a texture to vertex colors first
+    (render/mesh.bake_texture_to_colors) to face-shard a textured mesh."""
     n = mesh.devices.size
     F = mesh_arrays.fverts.shape[0]
     granule = 1024 * n

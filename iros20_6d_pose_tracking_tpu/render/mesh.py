@@ -30,6 +30,17 @@ class TriMesh:
     colors: (V, 3) float32 vertex albedo in [0, 1]
     normals: (V, 3) float32 unit vertex normals
     num_faces: actual face count before padding
+    face_uvs: optional (F, 3, 2) float32 PER-CORNER texture coordinates
+      (OBJ convention: origin bottom-left, padded rows zero). Per-corner
+      — not per-vertex — because OBJ indexes positions and UVs
+      independently (``f v/vt/vn``): a seam vertex carries different UVs
+      on each side, which a (V, 2) table cannot represent.
+    texture: optional (Th, Tw, 3) float32 albedo texture in [0, 1]
+      (the ``map_Kd`` image of the mesh's material). When present the
+      rasterizer samples it perspective-correctly instead of vertex
+      colors — required for real textured CAD models (YCB textured.obj;
+      the reference renders these through trimesh/pyrender materials,
+      reference offscreen_renderer.py:53-69).
     """
 
     verts: np.ndarray
@@ -37,6 +48,8 @@ class TriMesh:
     colors: np.ndarray
     normals: np.ndarray
     num_faces: int
+    face_uvs: np.ndarray | None = None
+    texture: np.ndarray | None = None
 
     @property
     def diameter(self) -> float:
@@ -170,13 +183,52 @@ def load_ply(path: str):
     return result
 
 
-def load_obj(path: str):
-    """Minimal OBJ loader: v / vn / f records; polygon faces fan-triangulated.
+def _load_mtl_texture(mtl_path: str):
+    """First ``map_Kd`` image of an .mtl file as (H, W, 3) float32 in
+    [0, 1], or None. Texture paths are resolved relative to the .mtl."""
+    tex_file = None
+    try:
+        with open(mtl_path, "r", errors="replace") as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] == "map_Kd":
+                    # options (-s, -o, ...) may precede the filename
+                    tex_file = parts[-1]
+                    break
+    except OSError:
+        return None
+    if tex_file is None:
+        return None
+    import os
 
-    Vertex colors: supports the common 'v x y z r g b' extension; otherwise
-    callers get geometry only.
+    cand = os.path.join(os.path.dirname(mtl_path), tex_file)
+    if not os.path.exists(cand):
+        cand = tex_file
+    try:
+        from PIL import Image
+
+        img = np.asarray(Image.open(cand).convert("RGB"), np.float32)
+        return img / 255.0
+    except Exception:
+        return None
+
+
+def load_obj(path: str):
+    """OBJ loader: v / vt / vn / f records; polygon faces fan-triangulated.
+
+    Faces may index positions, UVs, and normals independently
+    (``f v/vt/vn``, ``v//vn``, ``v/vt``); per-corner UVs come back as
+    ``face_uvs`` (F, 3, 2) aligned with ``faces``. ``mtllib`` is followed
+    and the material's ``map_Kd`` image returned as ``texture`` — the
+    path real textured CAD models (YCB textured.obj) need
+    (reference offscreen_renderer.py:53-69 carries the trimesh material).
+
+    Vertex colors: supports the common 'v x y z r g b' extension.
     """
+    import os
+
     verts, normals, colors, faces = [], [], [], []
+    uvs, face_uv_idx, mtl_files = [], [], []
     with open(path, "r", errors="replace") as f:
         for line in f:
             parts = line.split()
@@ -186,12 +238,21 @@ def load_obj(path: str):
                 verts.append([float(x) for x in parts[1:4]])
                 if len(parts) >= 7:
                     colors.append([float(x) for x in parts[4:7]])
+            elif parts[0] == "vt":
+                uvs.append([float(parts[1]),
+                            float(parts[2]) if len(parts) > 2 else 0.0])
             elif parts[0] == "vn":
                 normals.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "mtllib":
+                mtl_files.append(" ".join(parts[1:]))
             elif parts[0] == "f":
-                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                sub = [p.split("/") for p in parts[1:]]
+                idx = [int(s[0]) - 1 for s in sub]
+                tix = [int(s[1]) - 1 if len(s) > 1 and s[1] else -1
+                       for s in sub]
                 for k in range(1, len(idx) - 1):
                     faces.append([idx[0], idx[k], idx[k + 1]])
+                    face_uv_idx.append([tix[0], tix[k], tix[k + 1]])
     result = {"verts": np.array(verts, np.float32)}
     if faces:
         result["faces"] = np.array(faces, np.int32)
@@ -199,12 +260,44 @@ def load_obj(path: str):
         result["colors"] = np.array(colors, np.float32)
     if normals and len(normals) == len(verts):
         result["normals"] = np.array(normals, np.float32)
+    fuv = np.array(face_uv_idx, np.int64) if face_uv_idx else None
+    if uvs and fuv is not None and (fuv >= 0).all():
+        uv_table = np.array(uvs, np.float32)
+        result["face_uvs"] = uv_table[fuv]  # (F, 3, 2)
+        for mtl in mtl_files:
+            tex = _load_mtl_texture(
+                os.path.join(os.path.dirname(path), mtl))
+            if tex is not None:
+                result["texture"] = tex
+                break
     return result
 
 
 # ---------------------------------------------------------------------------
 # Geometry utilities
 # ---------------------------------------------------------------------------
+
+def bake_texture_to_colors(verts: np.ndarray, faces: np.ndarray,
+                           face_uvs: np.ndarray,
+                           texture: np.ndarray) -> np.ndarray:
+    """(V, 3) per-vertex albedo from a texture: each vertex averages the
+    texels its face corners sample. Lossy (texture detail below vertex
+    density is gone) — used when a textured mesh must be DECIMATED for
+    rendering speed and the per-corner UV pipeline no longer applies
+    (decimate() merges vertices across UV seams). Pass REAL faces only."""
+    faces = np.asarray(faces, np.int64)
+    th, tw = texture.shape[:2]
+    u = np.asarray(face_uvs, np.float64)[..., 0] % 1.0
+    v = np.asarray(face_uvs, np.float64)[..., 1] % 1.0
+    x = np.clip(np.round(u * (tw - 1)).astype(np.int64), 0, tw - 1)
+    y = np.clip(np.round((1.0 - v) * (th - 1)).astype(np.int64), 0, th - 1)
+    texel = texture[y, x]  # (F, 3, 3)
+    cols = np.zeros((len(verts), 3), np.float64)
+    cnt = np.zeros((len(verts), 1), np.float64)
+    np.add.at(cols, faces.reshape(-1), texel.reshape(-1, 3))
+    np.add.at(cnt, faces.reshape(-1), 1.0)
+    return (cols / np.maximum(cnt, 1.0)).astype(np.float32)
+
 
 def compute_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """Area-weighted vertex normals."""
@@ -323,10 +416,16 @@ def morton_order_faces(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     projected per-block screen bounds stay tight under any pose — the
     rasterizer skips (pixel-tile, face-block) pairs whose bounds miss.
     """
+    return faces[morton_face_order(verts, faces)]
+
+
+def morton_face_order(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """The Morton permutation itself — applied to ``faces`` AND to any
+    per-face attribute table (face_uvs) so they stay aligned."""
     cen = verts[faces].mean(axis=1)
     lo, hi = cen.min(0), cen.max(0)
     q = ((cen - lo) / np.maximum(hi - lo, 1e-12) * 1023.0).astype(np.int64)
-    return faces[np.argsort(_morton3(q), kind="stable")]
+    return np.argsort(_morton3(q), kind="stable")
 
 
 def build_trimesh(
@@ -335,6 +434,8 @@ def build_trimesh(
     colors: np.ndarray | None = None,
     normals: np.ndarray | None = None,
     block: int | None = None,
+    face_uvs: np.ndarray | None = None,
+    texture: np.ndarray | None = None,
 ) -> TriMesh:
     """Pack loaded geometry into the rasterizer's static layout.
 
@@ -353,19 +454,27 @@ def build_trimesh(
         colors = np.full((len(verts), 3), 0.7, np.float32)
     if normals is None:
         normals = compute_vertex_normals(verts, faces)
-    faces = morton_order_faces(verts, faces)
+    order = morton_face_order(verts, faces)
+    faces = faces[order]
+    if face_uvs is not None:
+        face_uvs = np.asarray(face_uvs, np.float32)[order]
     num = len(faces)
     padded = ((num + block - 1) // block) * block
     if padded != num:
         # Degenerate faces (all three indices 0) never cover any pixel.
         pad = np.zeros((padded - num, 3), np.int32)
         faces = np.concatenate([faces, pad], 0)
+        if face_uvs is not None:
+            face_uvs = np.concatenate(
+                [face_uvs, np.zeros((padded - num, 3, 2), np.float32)], 0)
     return TriMesh(
         verts=verts,
         faces=faces,
         colors=np.asarray(colors, np.float32),
         normals=np.asarray(normals, np.float32),
         num_faces=num,
+        face_uvs=face_uvs,
+        texture=None if texture is None else np.asarray(texture, np.float32),
     )
 
 
@@ -383,7 +492,8 @@ def load_mesh(path: str) -> TriMesh:
             "Use load_ply/load_obj directly for point data."
         )
     return build_trimesh(
-        d["verts"], d["faces"], d.get("colors"), d.get("normals")
+        d["verts"], d["faces"], d.get("colors"), d.get("normals"),
+        face_uvs=d.get("face_uvs"), texture=d.get("texture"),
     )
 
 
@@ -518,6 +628,77 @@ def make_icosphere(subdiv: int = 3, radius: float = 0.05,
     ).astype(np.float32)
     colors = 0.3 * np.array(color, np.float32) + 0.7 * colors
     return build_trimesh(verts, faces.astype(np.int32), colors, normals)
+
+
+def make_cylinder(radius: float = 0.033, height: float = 0.12,
+                  segments: int = 48, color=(0.75, 0.72, 0.68),
+                  banded: bool = False) -> TriMesh:
+    """Closed cylinder along +z. With a uniform ``color`` it is exactly
+    rotationally symmetric about its axis — the ADD-S-matters regime the
+    reference's bowl/cans embody (reference eval_ycb.py ADD vs ADI
+    distinction): no observation can pin the axial rotation, so ADD is
+    ill-posed while ADD-S stays meaningful. ``banded=True`` paints an
+    angular band that breaks the symmetry (ablation control)."""
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ca, sa = np.cos(ang), np.sin(ang)
+    h = height / 2.0
+    # side wall: smooth normals (radial), two rings of verts
+    ring_lo = np.stack([radius * ca, radius * sa, -h * np.ones_like(ca)], -1)
+    ring_hi = np.stack([radius * ca, radius * sa, h * np.ones_like(ca)], -1)
+    side_v = np.concatenate([ring_lo, ring_hi], 0).astype(np.float32)
+    side_n = np.concatenate(
+        [np.stack([ca, sa, np.zeros_like(ca)], -1)] * 2, 0
+    ).astype(np.float32)
+    side_f = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        side_f += [[i, j, segments + j], [i, segments + j, segments + i]]
+    # caps: flat normals, separate verts (sharp edge)
+    cap_v, cap_n, cap_f = [], [], []
+    for z, nz in ((-h, -1.0), (h, 1.0)):
+        center = len(cap_v)
+        cap_v.append([0.0, 0.0, z])
+        cap_n.append([0.0, 0.0, nz])
+        for k in range(segments):
+            cap_v.append([radius * ca[k], radius * sa[k], z])
+            cap_n.append([0.0, 0.0, nz])
+        for k in range(segments):
+            a_i = center + 1 + k
+            b_i = center + 1 + (k + 1) % segments
+            tri = [center, a_i, b_i] if nz > 0 else [center, b_i, a_i]
+            cap_f.append([2 * segments + t for t in tri])
+    verts = np.concatenate([side_v, np.array(cap_v, np.float32)], 0)
+    normals = np.concatenate([side_n, np.array(cap_n, np.float32)], 0)
+    faces = np.array(side_f + cap_f, np.int32)
+    colors = np.tile(np.array(color, np.float32), (len(verts), 1))
+    if banded:
+        theta = np.arctan2(verts[:, 1], verts[:, 0])
+        band = (theta > 0.3) & (theta < 1.2)
+        colors[band] = (0.2, 0.3, 0.8)
+    return build_trimesh(verts, faces, colors, normals)
+
+
+def make_plate(size=(0.12, 0.09, 0.006), color=(0.82, 0.8, 0.75)) -> TriMesh:
+    """Thin uniform-color plate: near-degenerate depth extent along its
+    normal and a 180-degree flip ambiguity when viewed face-on — a
+    documented failure geometry, not a passing-grade object."""
+    return make_box(size, color=color, distinct_faces=False)
+
+
+def make_plain_sphere(subdiv: int = 2, radius: float = 0.045,
+                      color=(0.6, 0.62, 0.65)) -> TriMesh:
+    """Uniform-color icosphere: FULLY rotationally symmetric — every
+    rotation is unobservable in both RGB and depth; only translation is
+    trackable. ADD is ill-posed by construction, ADD-S is the honest
+    metric (reference eval_ycb.py:102-118 ADD vs ADI split)."""
+    t = make_icosphere(subdiv=subdiv, radius=radius)
+    return TriMesh(
+        verts=t.verts,
+        faces=t.faces,
+        colors=np.tile(np.array(color, np.float32), (len(t.verts), 1)),
+        normals=t.normals,
+        num_faces=t.num_faces,
+    )
 
 
 def decimate(verts: np.ndarray, faces: np.ndarray, colors: np.ndarray | None,

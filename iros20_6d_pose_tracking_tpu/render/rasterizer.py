@@ -70,16 +70,25 @@ class MeshArrays(NamedTuple):
                          # because FMA contraction under XLA makes a
                          # degenerate face's area a nonzero ulp-scale value,
                          # so an area==0 test is not a reliable pad filter.
+    fuvs: jax.Array | None = None     # (F, 3, 2) f32 per-corner UVs (OBJ
+                                      # convention, origin bottom-left)
+    texture: jax.Array | None = None  # (Th, Tw, 3) f32 albedo in [0,1];
+                                      # when set, pass 2 samples it
+                                      # (perspective-correct, bilinear)
+                                      # instead of vertex colors
 
 
 def upload(mesh: TriMesh) -> MeshArrays:
     f = mesh.faces
     fmask = jnp.arange(f.shape[0]) < mesh.num_faces
+    textured = mesh.face_uvs is not None and mesh.texture is not None
     return MeshArrays(
         fverts=jnp.asarray(mesh.verts[f]),
         fcolors=jnp.asarray(mesh.colors[f]),
         fnormals=jnp.asarray(mesh.normals[f]),
         fmask=fmask,
+        fuvs=jnp.asarray(mesh.face_uvs) if textured else None,
+        texture=jnp.asarray(mesh.texture) if textured else None,
     )
 
 
@@ -219,7 +228,10 @@ def _face_attr_coefficients(fx, fy, fiz, fvalid, mesh: MeshArrays):
     row per pixel instead of 3 vertex gathers per attribute (the vertex
     gathers were the measured pass-2 bottleneck).
 
-    Returns (F, 30): [izpix a,b,c | albedo 9 | normal 9 | pos 9].
+    Returns (F, 30): [izpix a,b,c | albedo 9 | normal 9 | pos 9] —
+    or (F, 36) with 6 UV forms appended when the mesh carries per-corner
+    texture coordinates (textured CAD models; shade_rows samples the
+    texture at the interpolated UV).
     """
     x0, x1, x2 = fx[:, 0], fx[:, 1], fx[:, 2]
     y0, y1, y2 = fy[:, 0], fy[:, 1], fy[:, 2]
@@ -243,19 +255,19 @@ def _face_attr_coefficients(fx, fy, fiz, fvalid, mesh: MeshArrays):
         cw = jnp.einsum("fk,fkc->fc", c * w, vattr)
         return jnp.concatenate([aw, bw, cw], axis=1)
 
-    return jnp.concatenate(
-        [
-            iz_abc,
-            attr_forms(mesh.fcolors),
-            attr_forms(mesh.fnormals),
-            attr_forms(mesh.fverts),
-        ],
-        axis=1,
-    ).astype(jnp.float32)
+    packs = [
+        iz_abc,
+        attr_forms(mesh.fcolors),
+        attr_forms(mesh.fnormals),
+        attr_forms(mesh.fverts),
+    ]
+    if mesh.fuvs is not None:
+        packs.append(attr_forms(mesh.fuvs))
+    return jnp.concatenate(packs, axis=1).astype(jnp.float32)
 
 
 def _pass2_shade(mesh: MeshArrays, R, t, attr_coef, zmin, winner, hit,
-                 out_hw, depth_from_form: bool = False):
+                 out_hw, depth_from_form: bool = False, lighting=None):
     """Shade the winning triangle per pixel from its linear attribute
     forms: one row gather + FMAs per pixel.
 
@@ -266,18 +278,59 @@ def _pass2_shade(mesh: MeshArrays, R, t, attr_coef, zmin, winner, hit,
     winner_f = winner.reshape(-1)
     zmin_f = zmin.reshape(-1)
     hit_f = hit.reshape(-1)
-    row = jnp.take(attr_coef, winner_f, axis=0)  # (P, 30)
+    row = jnp.take(attr_coef, winner_f, axis=0)  # (P, 30|36)
     return shade_rows(R, t, row, zmin_f, hit_f, out_hw,
-                      depth_from_form=depth_from_form)
+                      depth_from_form=depth_from_form,
+                      texture=mesh.texture, lighting=lighting)
+
+
+def _sample_texture(texture, u, v):
+    """Bilinear texture fetch at OBJ-convention UVs (origin bottom-left;
+    wrap addressing). texture: (Th, Tw, 3); u, v: (P,). Returns (P, 3)."""
+    th, tw = texture.shape[:2]
+    # wrap, then flip v: image row 0 is the TOP of the texture
+    x = (u - jnp.floor(u)) * (tw - 1)
+    y = (1.0 - (v - jnp.floor(v))) * (th - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, tw - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, th - 1)
+    x1 = jnp.minimum(x0 + 1, tw - 1)
+    y1 = jnp.minimum(y0 + 1, th - 1)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    flat = texture.reshape(-1, 3)
+    xi0, yi0 = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    xi1, yi1 = x1.astype(jnp.int32), y1.astype(jnp.int32)
+    c00 = jnp.take(flat, yi0 * tw + xi0, axis=0)
+    c01 = jnp.take(flat, yi0 * tw + xi1, axis=0)
+    c10 = jnp.take(flat, yi1 * tw + xi0, axis=0)
+    c11 = jnp.take(flat, yi1 * tw + xi1, axis=0)
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
 
 
 def shade_rows(R, t, row, zmin_f, hit_f, out_hw,
-               depth_from_form: bool = False):
-    """Shading math on pre-gathered per-pixel attribute rows (P, 30).
+               depth_from_form: bool = False, texture=None, lighting=None):
+    """Shading math on pre-gathered per-pixel attribute rows (P, 30) —
+    (P, 36) with UV forms for textured meshes, in which case ``texture``
+    is sampled perspective-correctly for the albedo.
     Split out of _pass2_shade so the face-sharded SPMD renderer
     (parallel/latency.py) can psum the gathered rows across shards and
-    shade locally."""
+    shade locally.
+
+    ``lighting``: optional traced (5,) array [ambient, diffuse, lx, ly,
+    lz] overriding the module's fixed shading constants — used by the
+    domain-shifted evaluation (eval/domain_shift.py) to break the
+    renderer identity between the tracker's A branch and the observed
+    video. None keeps the reference-matched constants."""
     H, W = out_hw
+    if lighting is None:
+        ambient, diffuse = AMBIENT, DIFFUSE
+        light_cam = jnp.asarray(LIGHT_CAM, jnp.float32)
+    else:
+        lighting = jnp.asarray(lighting, jnp.float32)
+        ambient, diffuse = lighting[0], lighting[1]
+        light_cam = lighting[2:5]
     gx = jnp.arange(W, dtype=jnp.float32)
     gy = jnp.arange(H, dtype=jnp.float32)
     pxg, pyg = jnp.meshgrid(gx, gy)
@@ -287,14 +340,19 @@ def shade_rows(R, t, row, zmin_f, hit_f, out_hw,
     izpix = row[:, 0] * pix_x + row[:, 1] * pix_y + row[:, 2]
     inv_iz = 1.0 / jnp.maximum(izpix, 1e-9)
 
-    def attr3(base):
-        al = row[:, base : base + 3]
-        be = row[:, base + 3 : base + 6]
-        ga = row[:, base + 6 : base + 9]
+    def attr(base, c=3):
+        al = row[:, base : base + c]
+        be = row[:, base + c : base + 2 * c]
+        ga = row[:, base + 2 * c : base + 3 * c]
         num = al * pix_x[:, None] + be * pix_y[:, None] + ga
         return num * inv_iz[:, None]
 
-    albedo = attr3(3)
+    attr3 = attr
+    if texture is not None and row.shape[1] >= 36:
+        uv = attr(30, c=2)
+        albedo = _sample_texture(texture, uv[:, 0], uv[:, 1])
+    else:
+        albedo = attr3(3)
     n_obj = attr3(12)
     p_obj = attr3(21)
     n_cam = jnp.einsum("pj,ij->pi", n_obj, R, precision=_PREC)
@@ -302,12 +360,12 @@ def shade_rows(R, t, row, zmin_f, hit_f, out_hw,
         jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-9
     )
     p_cam = jnp.einsum("pj,ij->pi", p_obj, R, precision=_PREC) + t[None, :]
-    l_vec = jnp.asarray(LIGHT_CAM, jnp.float32)[None, :] - p_cam
+    l_vec = light_cam[None, :] - p_cam
     l_dir = l_vec / jnp.maximum(
         jnp.linalg.norm(l_vec, axis=-1, keepdims=True), 1e-9
     )
     ndotl = jnp.maximum(jnp.sum(n_cam * l_dir, axis=-1), 0.0)
-    shade = jnp.clip(albedo * (AMBIENT + DIFFUSE * ndotl)[:, None], 0.0, 1.0)
+    shade = jnp.clip(albedo * (ambient + diffuse * ndotl)[:, None], 0.0, 1.0)
 
     rgb = jnp.where(hit_f[:, None], shade * 255.0, 0.0).reshape(H, W, 3)
     depth_src = inv_iz if depth_from_form else zmin_f
@@ -367,6 +425,11 @@ def pass1(fx, fy, fiz, fvalid, out_hw, face_block: int = FACE_BLOCK,
     lossy double reciprocal. Used by :func:`render` AND by
     parallel/latency.sharded_render's per-shard pass so the single-chip
     and face-sharded SP paths cannot drift.
+
+    ``face_block``/``skip_blocks`` apply to the XLA impl only: the Pallas
+    branch always picks its block size via :func:`pick_face_block` (the
+    kernel's tiling is fixed at trace time) and always skips empty-bbox
+    blocks — the kernel has no non-skipping mode.
     """
     if impl == "xla":
         zmin, winner = _pass1_xla(fx, fy, fiz, fvalid, out_hw, face_block,
@@ -403,6 +466,7 @@ def render(
     skip_blocks: bool = True,
     impl: str = "xla",
     cull_backfaces: bool = False,
+    lighting: jax.Array | None = None,
 ):
     """Render the mesh at ``pose`` (CV camera frame) into the ROI window.
 
@@ -428,8 +492,9 @@ def render(
       depth_mm: (H, W) float32 metric depth in millimetres (0 = no hit)
     """
     fx, fy, fiz, fvalid, R, t = _project(mesh, pose, K, window, out_hw, near)
-    # Attribute forms always index ORIGINAL face ids (winners are remapped
-    # through the cull permutation below).
+    # Attribute forms are compacted TOGETHER with the pass-1 tables on the
+    # culled Pallas path (one fused scatter in _compact_front), so winner
+    # ids index the permuted space end-to-end — no winner remap anywhere.
     attr_coef = _face_attr_coefficients(fx, fy, fiz, fvalid, mesh)
 
     if impl in ("pallas", "pallas_interpret") and cull_backfaces:
@@ -469,7 +534,8 @@ def render(
     hit = jnp.isfinite(zmin) & (zmin < far)
 
     return _pass2_shade(mesh, R, t, attr_coef, zmin, winner, hit, out_hw,
-                        depth_from_form=impl.startswith("pallas"))
+                        depth_from_form=impl.startswith("pallas"),
+                        lighting=lighting)
 
 
 def render_at_bbox(
