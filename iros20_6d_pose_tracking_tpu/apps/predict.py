@@ -141,18 +141,42 @@ def _track_files(tracker, rgb_files, depth_files, init_pose, args,
         return np.stack(poses)
 
     if args.track_mode == "stream":
+        import concurrent.futures as cf
+
         from ..tracking.stream import StreamTracker
 
-        s = StreamTracker(tracker, window=not getattr(args, "no_window", False))
+        s = StreamTracker(tracker,
+                          window=not getattr(args, "no_window", False),
+                          samples=getattr(args, "samples", 1))
         s.begin(init_pose)
-        for i in range(start + 1, n):
-            if i % 100 == 0:
-                print(">>>>", i, flush=True)
-            if i in reinit:
-                s.set_pose(reinit[i])
-                print("Reinitialized at", i)
-            s.push(_load_rgb(rgb_files[i]),
-                   _load_depth(depth_files[i]).astype(np.uint16))
+        # Chunked background decode: the next chunk's PNGs decode (C++
+        # thread pool when built) while the current chunk's frames push
+        # through the pipelined tracker — the live-path analog of
+        # track_video_chunked's prefetch thread. Without it the push
+        # loop is serialized on synchronous per-frame PIL decodes.
+        chunk = 16
+        get_rgb = _batch_src(rgb_files, "rgb")
+        get_depth = _batch_src(depth_files, "depth")
+
+        def load(a, b):
+            return get_rgb(a, b), get_depth(a, b).astype(np.uint16)
+
+        a0 = start + 1
+        with cf.ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(load, a0, min(a0 + chunk, n))
+            for a in range(a0, n, chunk):
+                b = min(a + chunk, n)
+                rgb_c, dep_c = fut.result()
+                if b < n:
+                    fut = ex.submit(load, b, min(b + chunk, n))
+                for j in range(b - a):
+                    i = a + j
+                    if i % 100 == 0:
+                        print(">>>>", i, flush=True)
+                    if i in reinit:
+                        s.set_pose(reinit[i])
+                        print("Reinitialized at", i)
+                    s.push(rgb_c[j], dep_c[j])
         return np.concatenate([init_pose[None], s.poses()], axis=0)
 
     poses = [init_pose]
@@ -164,7 +188,8 @@ def _track_files(tracker, rgb_files, depth_files, init_pose, args,
             prev = reinit[i]
             print("Reinitialized at", i)
         prev = tracker.on_track(prev, _load_rgb(rgb_files[i]),
-                                _load_depth(depth_files[i]))
+                                _load_depth(depth_files[i]),
+                                samples=getattr(args, "samples", 1))
         poses.append(prev.copy())
     return np.stack(poses)
 
@@ -357,26 +382,36 @@ def _poserbpf_pose(args, class_id, seq_id):
     return pose
 
 
+_KEYFRAME_INDEX: dict = {}
+
+
+def _keyframe_index(ycb_dir):
+    """keyframe.txt parsed once per ycb_dir: '<seq>/<frame>' -> line index
+    (the PoseCNN .mat result files are numbered by keyframe line)."""
+    idx = _KEYFRAME_INDEX.get(ycb_dir)
+    if idx is None:
+        with open(os.path.join(ycb_dir, "image_sets", "keyframe.txt")) as f:
+            idx = {line.strip(): i for i, line in enumerate(f)}
+        _KEYFRAME_INDEX[ycb_dir] = idx
+    return idx
+
+
 def _posecnn_pose(args, seq_id, frame_id):
-    """PoseCNN re-init pose from the YCB_Video_toolbox results
-    (reference use_posecnn_res, predict.py:89-123)."""
+    """PoseCNN re-init pose from the YCB_Video_toolbox results, taken at
+    the nearest keyframe to ``frame_id`` (reference use_posecnn_res,
+    predict.py:89-123)."""
     import scipy.io
 
-    with open(os.path.join(args.ycb_dir, "image_sets", "keyframe.txt")) as f:
-        seq_frames = [line.strip() for line in f]
-    target = f"{seq_id:04d}/{frame_id:06d}"
-    for neighbor in range(len(seq_frames)):
+    seq_frames = _keyframe_index(args.ycb_dir)
+    for neighbor in range(len(seq_frames) + frame_id + 1):
         for cand_frame in (frame_id + neighbor, frame_id - neighbor):
-            cand = f"{seq_id:04d}/{cand_frame:06d}"
-            if cand in seq_frames:
-                index = seq_frames.index(cand)
+            index = seq_frames.get(f"{seq_id:04d}/{cand_frame:06d}")
+            if index is not None:
                 mat = scipy.io.loadmat(os.path.join(
                     args.ycb_dir, "YCB_Video_toolbox",
                     "results_PoseCNN_RSS2018", f"{index:06d}.mat"))
                 rows = np.where(mat["rois"][:, 1] == args.class_id)[0]
                 vec = mat["poses_icp"][rows].reshape(-1)
-                from ..core import se3 as _se3
-                import jax.numpy as jnp
                 qw, qx, qy, qz = vec[:4]
                 # quaternion (wxyz) -> R
                 R = np.array([
@@ -388,7 +423,7 @@ def _posecnn_pose(args, seq_id, frame_id):
                 pose[:3, :3] = R
                 pose[:3, 3] = vec[4:]
                 return pose
-    raise RuntimeError(f"no keyframe near {target}")
+    raise RuntimeError(f"no keyframe near {seq_id:04d}/{frame_id:06d}")
 
 
 def build_parser():
@@ -418,6 +453,13 @@ def build_parser():
     parser.add_argument("--no_window", action="store_true",
                         help="stream mode: upload full frames instead of "
                              "the object window")
+    parser.add_argument("--samples", default=1, type=int,
+                        help="pose hypotheses per frame (stream/ontrack "
+                             "modes): N perturbed priors refine in one "
+                             "batched program; the depth-agreement winner "
+                             "is kept (the reference scaffolds this arg "
+                             "but evaluates only hypothesis 0, reference "
+                             "predict.py:229-231)")
     parser.add_argument("--viz_dir", type=str, default=None,
                         help="save projected-point overlays here")
     parser.add_argument("--save_video", action="store_true",

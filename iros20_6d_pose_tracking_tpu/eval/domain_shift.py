@@ -1,0 +1,255 @@
+"""Domain-shifted sensor model for the accuracy harness.
+
+The synthetic accuracy suite's weakness (VERDICT r2 "Missing #1") is
+renderer identity: the observed test video and the tracker's A branch come
+from the same rasterizer with the same lighting constants, so the
+render-vs-reality mismatch that makes the reference's real-data numbers
+hard (reference eval_ycb.py:67-119 scores against real RGB-D keyframes) is
+absent. This module breaks that identity on every axis a real camera
+would:
+
+  - **Lighting shift**: the observed video renders with DIFFERENT
+    ambient/diffuse/light-position constants than the fixed ones the
+    tracker's A branch uses (render/rasterizer.py AMBIENT/DIFFUSE/
+    LIGHT_CAM) — the appearance gap between a CAD render and a lit scene.
+  - **Photometric drift**: per-frame exposure and white-balance gains
+    (slow sinusoids — auto-exposure/AWB hunting), gamma, RGB noise.
+  - **Motion blur**: directional blur along the object's projected
+    screen velocity.
+  - **Depth sensor model**: quantization (structured-light disparity
+    steps), edge dropout (occlusion shadows at depth discontinuities),
+    low-frequency multiplicative warp (calibration bias), per-pixel
+    noise, random dropout.
+  - **Noisy initialization**: PoseCNN-grade init error
+    (reference predict.py:89-123 uses PoseCNN results as init, which are
+    centimetres/degrees off).
+
+``long_horizon_eval`` adds the 500-frame closed-loop protocol: track with
+per-frame depth-agreement health, re-initialize from a (noisy) external
+pose whenever ReinitPolicy fires — the automated analog of the
+reference's manual --reinit_frames (reference predict.py:539-541).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..data.dataset import _smooth_noise
+from ..render import rasterizer as rz
+from ..tracking import hypotheses as hy
+from ..tracking import tracker as trk
+from . import metrics as ME
+
+
+@dataclass(frozen=True)
+class SensorModel:
+    """Static (hashable) description of the observation domain shift."""
+
+    # lighting constants of the OBSERVED render (A branch keeps the
+    # rasterizer defaults: ambient 0.65 / diffuse 0.4 / light (0,-.1,-.9)).
+    # Chosen DARKER overall (max factor ~0.93 vs ~1.0) with a displaced
+    # light: a same-brightness shift would mostly clip away at the
+    # rasterizer's [0,1] shade clamp.
+    ambient: float = 0.45
+    diffuse: float = 0.48
+    light_cam: tuple = (0.35, -0.45, -0.35)
+    # photometric pipeline
+    exposure_amp: float = 0.18     # peak exposure gain drift (x1±amp)
+    wb_amp: float = 0.08           # peak per-channel white-balance drift
+    gamma: float = 1.15
+    rgb_noise_std: float = 3.0     # 0..255 scale
+    motion_blur_px: float = 2.5    # max blur extent along screen velocity
+    # depth sensor
+    depth_quant_mm: float = 4.0
+    edge_grad_mm: float = 30.0     # discontinuity threshold for dropout
+    edge_dropout_prob: float = 0.7
+    depth_warp_amp: float = 0.012  # low-frequency multiplicative warp
+    depth_noise_mm: float = 2.0
+    dropout_prob: float = 0.02
+    # initialization error (PoseCNN grade)
+    init_trans_m: float = 0.015
+    init_rot_deg: float = 8.0
+
+    def lighting(self):
+        return jnp.asarray(
+            [self.ambient, self.diffuse, *self.light_cam], jnp.float32)
+
+
+def _shift3(img, dy, dx):
+    """Zero-padding integer shift (no wraparound ghosts)."""
+    out = jnp.roll(img, (dy, dx), axis=(0, 1))
+    H, W = img.shape[:2]
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    ok = ((yy - dy >= 0) & (yy - dy < H) & (xx - dx >= 0) & (xx - dx < W))
+    return jnp.where(ok[..., None] if img.ndim == 3 else ok, out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("sensor",))
+def apply_sensor_model(key, rgb, depth_mm, vel_uv, frame_idx,
+                       sensor: SensorModel):
+    """One frame through the camera model. rgb (H,W,3) 0..255 f32,
+    depth_mm (H,W) f32, vel_uv (2,) projected object velocity px/frame."""
+    H, W = depth_mm.shape
+    knoise, kdnoise, kdrop, kedge, kwarp = jax.random.split(key, 5)
+
+    # --- motion blur along the screen velocity (5 integer-shift taps) ---
+    speed = jnp.linalg.norm(vel_uv)
+    ext = jnp.minimum(speed, sensor.motion_blur_px)
+    direc = vel_uv / jnp.maximum(speed, 1e-6)
+    taps = jnp.array([-1.0, -0.5, 0.0, 0.5, 1.0])
+    offs = jnp.round(taps[:, None] * ext * direc[None, :]).astype(jnp.int32)
+
+    def tap(c, o):
+        return c + _shift3(rgb, o[1], o[0]), None
+
+    acc, _ = jax.lax.scan(tap, jnp.zeros_like(rgb), offs)
+    rgb = acc / 5.0
+
+    # --- exposure / white balance drift + gamma + noise ---
+    ph = frame_idx.astype(jnp.float32)
+    exposure = 1.0 + sensor.exposure_amp * jnp.sin(2 * jnp.pi * ph / 97.0)
+    wb = 1.0 + sensor.wb_amp * jnp.sin(
+        2 * jnp.pi * ph / jnp.array([61.0, 83.0, 47.0])
+        + jnp.array([0.0, 2.1, 4.2]))
+    rgb = rgb * exposure * wb[None, None, :]
+    rgb = 255.0 * jnp.power(jnp.clip(rgb / 255.0, 0.0, 1.0),
+                            sensor.gamma)
+    rgb = rgb + jax.random.normal(knoise, rgb.shape) * sensor.rgb_noise_std
+    rgb = jnp.clip(rgb, 0.0, 255.0)
+
+    # --- depth sensor ---
+    valid = depth_mm > 0
+    # low-frequency multiplicative warp (calibration bias)
+    warp = 1.0 + (jax.image.resize(
+        jax.random.uniform(kwarp, (4, 4)), (H, W), "bilinear") - 0.5) \
+        * 2.0 * sensor.depth_warp_amp
+    d = depth_mm * warp
+    d = d + jax.random.normal(kdnoise, d.shape) * sensor.depth_noise_mm
+    d = jnp.round(d / sensor.depth_quant_mm) * sensor.depth_quant_mm
+    # edge dropout: depth discontinuities shadow the IR projector
+    dmax = d
+    dmin = jnp.where(valid, d, jnp.inf)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            r = jnp.roll(d, (dy, dx), (0, 1))
+            rv = jnp.roll(valid, (dy, dx), (0, 1))
+            dmax = jnp.maximum(dmax, jnp.where(rv, r, 0.0))
+            dmin = jnp.minimum(dmin, jnp.where(rv, r, jnp.inf))
+    edge = (dmax - jnp.where(jnp.isfinite(dmin), dmin, dmax)) \
+        > sensor.edge_grad_mm
+    drop = edge & jax.random.bernoulli(kedge, sensor.edge_dropout_prob,
+                                       d.shape)
+    drop = drop | jax.random.bernoulli(kdrop, sensor.dropout_prob, d.shape)
+    d = jnp.where(valid & ~drop, d, 0.0)
+    return rgb, d
+
+
+def screen_velocities(gt: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """(T, 2) per-frame projected object-center velocity in pixels."""
+    t = gt[:, :3, 3]
+    z = np.maximum(t[:, 2], 1e-6)
+    u = t[:, 0] * K[0, 0] / z + K[0, 2]
+    v = t[:, 1] * K[1, 1] / z + K[1, 2]
+    uv = np.stack([u, v], -1)
+    vel = np.zeros_like(uv)
+    vel[1:] = uv[1:] - uv[:-1]
+    return vel.astype(np.float32)
+
+
+def shift_video(frames_rgb, frames_depth, gt, K,
+                sensor: SensorModel = SensorModel(), seed: int = 0):
+    """Apply the sensor model to a whole rendered video (vmapped)."""
+    T = frames_rgb.shape[0]
+    keys = jax.random.split(jax.random.PRNGKey(seed), T)
+    vel = jnp.asarray(screen_velocities(np.asarray(gt), np.asarray(K)))
+    idx = jnp.arange(T)
+    rgb, depth = jax.vmap(
+        lambda k, r, d, v, i: apply_sensor_model(k, r, d, v, i, sensor)
+    )(keys, frames_rgb.astype(jnp.float32), frames_depth, vel, idx)
+    return rgb, depth
+
+
+def noisy_init_pose(key, pose, sensor: SensorModel = SensorModel()):
+    """PoseCNN-grade perturbed initialization: EXACT requested
+    translation/rotation magnitude in a uniform random direction (exact,
+    not sampled-up-to, so every evaluation pays the full init error)."""
+    k1, k2 = jax.random.split(key)
+    dt = se3.random_direction(k1, ()) * sensor.init_trans_m
+    w = se3.random_direction(k2, ()) * np.deg2rad(sensor.init_rot_deg)
+    d = se3.make_pose(se3.so3_exp(w), dt)
+    return jnp.asarray(pose, jnp.float32) @ d
+
+
+def long_horizon_eval(obj, gt, frames_rgb, frames_depth, K, *,
+                      chunk: int = 50, threshold: float = 0.3,
+                      patience: int = 3, seed: int = 33,
+                      reinit_sensor: SensorModel = SensorModel()) -> dict:
+    """Closed-loop long-horizon tracking: scan in fixed chunks with the
+    per-frame depth-agreement health score; whenever ReinitPolicy fires,
+    re-initialize from a noisy external pose (PoseCNN-grade gt
+    perturbation) at that frame and continue. One compiled shape (chunks
+    padded by repeating the last frame).
+
+    ``obj``: a synthetic_benchmark.BenchObject. Returns ADD/ADD-S AUC over
+    ALL frames (drift and recovery both count, reference
+    eval_ycb.py:45-64 protocol) plus reinit telemetry.
+    """
+    T = len(gt) - 1  # tracked frames (gt[0] is the init frame)
+    Kj = jnp.asarray(K)
+    key = jax.random.PRNGKey(seed)
+    poses_out = np.zeros((T, 4, 4), np.float32)
+    policy = hy.ReinitPolicy(threshold=threshold, patience=patience)
+    reinits = []
+    cur_pose = noisy_init_pose(jax.random.fold_in(key, 10**6), gt[0],
+                               reinit_sensor)
+    start = 0  # index into tracked frames: frame i is gt[i+1]
+    while start < T:
+        stop = min(start + chunk, T)
+        rgb = frames_rgb[1 + start : 1 + stop]
+        dep = frames_depth[1 + start : 1 + stop]
+        pad = chunk - (stop - start)
+        if pad:
+            rgb = jnp.concatenate([rgb, jnp.repeat(rgb[-1:], pad, 0)])
+            dep = jnp.concatenate([dep, jnp.repeat(dep[-1:], pad, 0)])
+        poses, scores = hy.track_video_with_health(
+            obj.model, obj.tcfg, obj.variables, obj.mesh, Kj,
+            obj.mean, obj.std, cur_pose, rgb, dep)
+        scores = np.asarray(scores)[: stop - start]
+        trig = None
+        for j in range(stop - start):
+            if policy.update(float(scores[j])):
+                trig = j
+                break
+        take = (stop - start) if trig is None else (trig + 1)
+        poses_out[start : start + take] = np.asarray(poses)[:take]
+        if trig is None:
+            cur_pose = poses[stop - start - 1]
+            start = stop
+        else:
+            # external re-detection at the NEXT frame (noisy gt)
+            start = start + take
+            if start < T:
+                cur_pose = noisy_init_pose(
+                    jax.random.fold_in(key, start), gt[start],
+                    reinit_sensor)
+                reinits.append(start)
+            policy.bad_streak = 0
+    from ..render import mesh as M
+
+    cloud = M.voxel_down_sample(obj.tm.verts, 0.005)
+    all_poses = np.concatenate([np.asarray(gt[:1]), poses_out], 0)
+    add, adi = ME.batch_errors(all_poses, np.asarray(gt), cloud)
+    return {
+        "frames": int(T),
+        "reinit_count": len(reinits),
+        "reinit_frames": reinits,
+        "add_auc": float(ME.vocap(add) * 100),
+        "adi_auc": float(ME.vocap(adi) * 100),
+        "add_mean_mm": float(add.mean() * 1000),
+    }

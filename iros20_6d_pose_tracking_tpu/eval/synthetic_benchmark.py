@@ -188,6 +188,7 @@ def render_test_video(
     background: bool | None = None,
     occluder: bool | None = None,
     dropout: bool | None = None,
+    lighting=None,
 ):
     """Render the observed RGB-D video for a gt trajectory.
 
@@ -195,7 +196,12 @@ def render_test_video(
     VALID sensor depth, an occluder sphere sweeping past (grazing the
     object's edge — partial occlusion, the regime the DR training
     composites cover), and per-frame depth dropout. The three factors
-    can also be toggled individually (for ablations)."""
+    can also be toggled individually (for ablations).
+
+    ``lighting``: optional (5,) [ambient, diffuse, lx, ly, lz] override
+    for the OBSERVED render — the domain-shifted evaluation
+    (eval/domain_shift.py) uses it to break renderer identity with the
+    tracker's A branch, which keeps the rasterizer defaults."""
     background = hard if background is None else background
     occluder = hard if occluder is None else occluder
     dropout = hard if dropout is None else dropout
@@ -208,7 +214,7 @@ def render_test_video(
 
     def render_frame(pose):
         return rz.render(mesh, jnp.asarray(pose), Kj, window, out_hw=hw,
-                         impl=impl)
+                         impl=impl, lighting=lighting)
 
     if not hard:
         frames = [render_frame(gt[i]) for i in range(T)]
@@ -238,7 +244,8 @@ def render_test_video(
                 [0.055 * np.cos(phase), 0.030 + 0.004 * np.sin(2 * phase),
                  0.0], np.float32)
             r_occ, d_occ = rz.render(occ, jnp.asarray(occ_pose), Kj,
-                                     window, out_hw=hw, impl=impl)
+                                     window, out_hw=hw, impl=impl,
+                                     lighting=lighting)
             dc = jnp.where(d_occ > 0, d_occ, jnp.inf)
             occ_wins = dc < do
             rgb = jnp.where(occ_wins[..., None], r_occ, r_obj)
@@ -262,13 +269,16 @@ def render_test_video(
 
 
 def evaluate_tracking(obj: BenchObject, gt: np.ndarray, frames_rgb,
-                      frames_depth, K=YCB_K) -> dict:
-    """Track from gt[0] and score ADD / ADD-S per frame + VOCap AUC,
-    with the hold-init drift baseline for context."""
+                      frames_depth, K=YCB_K, init_pose=None) -> dict:
+    """Track from ``init_pose`` (default gt[0] — pass a perturbed pose
+    for PoseCNN-grade noisy initialization) and score ADD / ADD-S per
+    frame + VOCap AUC, with the hold-init drift baseline for context."""
+    if init_pose is None:
+        init_pose = gt[0]
     poses = trk.track_video(
         obj.model, obj.tcfg, obj.variables, obj.mesh, jnp.asarray(K),
-        obj.mean, obj.std, jnp.asarray(gt[0]), frames_rgb[1:],
-        frames_depth[1:],
+        obj.mean, obj.std, jnp.asarray(init_pose, jnp.float32),
+        frames_rgb[1:], frames_depth[1:],
     )
     poses = np.concatenate([gt[:1], np.asarray(poses)], axis=0)
     cloud = M.voxel_down_sample(obj.tm.verts, 0.005)

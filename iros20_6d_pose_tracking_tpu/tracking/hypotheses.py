@@ -35,6 +35,7 @@ def depth_agreement(
     frame_depth_mm: jax.Array,
     cfg: trk.TrackerConfig,
     tol_mm: float = 20.0,
+    frame_offset_vu: jax.Array | None = None,
 ):
     """Render-vs-observed depth consistency in the pose's ROI.
 
@@ -42,18 +43,22 @@ def depth_agreement(
     object is, the fraction whose observed depth lies within ``tol_mm``.
     Occluded-object pixels (observed closer than rendered) are excluded
     from the denominator so partial occlusion doesn't read as drift.
+    ``frame_offset_vu``: (row, col) of the frame's origin in full-image
+    coordinates when only a sub-window was uploaded (tracking/stream.py).
     """
     res = (cfg.resolution, cfg.resolution)
     bbox = roi_ops.compute_bbox(pose, K, cfg.object_width_mm,
                                 (1000.0, 1000.0, 1000.0))
     window = rz.window_from_bbox(bbox)
+    bbox_local = bbox if frame_offset_vu is None else (
+        bbox - frame_offset_vu[None, :].astype(jnp.int32))
     _, depth_r = rz.render(mesh, pose, K, window, out_hw=res,
                            near=cfg.near, far=cfg.far, impl=cfg.render_impl)
     depth_o = roi_ops.crop_resize_nearest(
         frame_depth_mm,
-        jnp.min(bbox[:, 0]), jnp.min(bbox[:, 1]),
-        jnp.max(bbox[:, 0]) - jnp.min(bbox[:, 0]),
-        jnp.max(bbox[:, 1]) - jnp.min(bbox[:, 1]),
+        jnp.min(bbox_local[:, 0]), jnp.min(bbox_local[:, 1]),
+        jnp.max(bbox_local[:, 0]) - jnp.min(bbox_local[:, 0]),
+        jnp.max(bbox_local[:, 1]) - jnp.min(bbox_local[:, 1]),
         res,
     )
     rendered = depth_r > 0
@@ -97,6 +102,7 @@ def track_step_multi(
     samples: int = 4,
     perturb_trans: float = 0.01,
     perturb_rot_deg: float = 5.0,
+    frame_offset_vu: jax.Array | None = None,
 ):
     """Multi-hypothesis update: hypothesis 0 is the previous pose, the
     rest are se(3) perturbations of it; all N run through the fused step
@@ -116,15 +122,54 @@ def track_step_multi(
     def one(p):
         new_pose, _ = trk.track_step(
             model, cfg, variables, mesh, K, mean, std, p, frame_rgb,
-            frame_depth_mm,
+            frame_depth_mm, frame_offset_vu=frame_offset_vu,
         )
-        score = depth_agreement(mesh, new_pose, K, frame_depth_mm, cfg)
+        score = depth_agreement(mesh, new_pose, K, frame_depth_mm, cfg,
+                                frame_offset_vu=frame_offset_vu)
         return new_pose, score
 
     new_poses, scores = jax.vmap(one)(hypo)
     best = jnp.argmax(scores)
     return new_poses[best], scores[best], {"scores": scores,
                                            "poses": new_poses}
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "samples"))
+def track_video_multi(
+    model,
+    cfg: trk.TrackerConfig,
+    variables,
+    mesh: rz.MeshArrays,
+    K: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    init_pose: jax.Array,
+    frames_rgb: jax.Array,
+    frames_depth_mm: jax.Array,
+    key: jax.Array,
+    samples: int = 4,
+):
+    """Whole-video multi-hypothesis tracking under ``lax.scan``: every
+    frame refines N perturbed hypotheses in one batched program (the CNN
+    runs batch-N — finally feeding the MXU at inference) and carries the
+    depth-agreement winner. Returns (poses (T,4,4), health scores (T,))
+    — the productized version of the reference's ``samples`` scaffold
+    (reference predict.py:229-231)."""
+
+    def step(carry, frame):
+        pose, k = carry
+        k, sub = jax.random.split(k)
+        rgb, depth = frame
+        new_pose, score, _ = track_step_multi(
+            model, cfg, variables, mesh, K, mean, std, pose, rgb, depth,
+            sub, samples=samples,
+        )
+        return (new_pose, k), (new_pose, score)
+
+    (_, _), (poses, scores) = jax.lax.scan(
+        step, (init_pose, key), (frames_rgb, frames_depth_mm)
+    )
+    return poses, scores
 
 
 class ReinitPolicy:

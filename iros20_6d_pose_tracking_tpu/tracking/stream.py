@@ -70,10 +70,17 @@ class StreamTracker:
 
     def __init__(self, tracker, window: bool = True, margin: float = 1.45,
                  refetch_every: int = 8, pose_lag: int | None = None,
-                 keep_history: bool = True):
+                 keep_history: bool = True, samples: int = 1):
         self.t = tracker
         self.window = window
         self.margin = margin
+        # samples > 1: every push refines N pose hypotheses in one
+        # batched program and carries the depth-agreement winner
+        # (tracking/hypotheses.track_step_multi); per-frame health scores
+        # land in .scores(). The batched CNN makes the extra hypotheses
+        # nearly latency-free on the MXU.
+        self.samples = int(samples)
+        self._scores: list = []
         # How often (frames) to refresh the host's window-center estimate.
         # The refresh is a D2H pose fetch done on a BACKGROUND thread, so
         # the push path never blocks; staleness is bounded by
@@ -135,6 +142,7 @@ class StreamTracker:
         self._pose_dev = jax.device_put(
             jnp.asarray(np.asarray(init_pose), jnp.float32))
         self._poses = [self._pose_dev]
+        self._scores = []
         self._gen += 1          # poison in-flight pre-begin fetches
         self._pending_center = None
         self._frame_idx = 0
@@ -157,27 +165,53 @@ class StreamTracker:
             model, cfg = t.model, t.cfg
             variables, mesh = t.variables, t.mesh
             K, mean, std = t.K, t.mean, t.std
+            samples = self.samples
+
+            def multi(pose, rgb, depth, idx, offset=None):
+                from . import hypotheses as hy
+
+                new_pose, score, _ = hy.track_step_multi(
+                    model, cfg, variables, mesh, K, mean, std,
+                    pose, rgb, depth, jax.random.PRNGKey(idx),
+                    samples=samples, frame_offset_vu=offset,
+                )
+                return new_pose, score
 
             if side_key == "full":
-                @jax.jit
-                def fn(pose, rgb, depth):
-                    new_pose, _ = trk.track_step(
-                        model, cfg, variables, mesh, K, mean, std,
-                        pose, rgb, depth,
-                    )
-                    return new_pose
+                if samples > 1:
+                    @jax.jit
+                    def fn(pose, rgb, depth, idx):
+                        return multi(pose, rgb, depth, idx)
+                else:
+                    @jax.jit
+                    def fn(pose, rgb, depth):
+                        new_pose, _ = trk.track_step(
+                            model, cfg, variables, mesh, K, mean, std,
+                            pose, rgb, depth,
+                        )
+                        return new_pose
             else:
-                @jax.jit
-                def fn(pose, packed, offset):
+                def unpack(packed):
                     rgb = packed[..., :3]
                     depth = (packed[..., 3].astype(jnp.int32)
                              + packed[..., 4].astype(jnp.int32) * 256
                              ).astype(jnp.float32)
-                    new_pose, _ = trk.track_step(
-                        model, cfg, variables, mesh, K, mean, std,
-                        pose, rgb, depth, frame_offset_vu=offset,
-                    )
-                    return new_pose
+                    return rgb, depth
+
+                if samples > 1:
+                    @jax.jit
+                    def fn(pose, packed, offset, idx):
+                        rgb, depth = unpack(packed)
+                        return multi(pose, rgb, depth, idx, offset)
+                else:
+                    @jax.jit
+                    def fn(pose, packed, offset):
+                        rgb, depth = unpack(packed)
+                        new_pose, _ = trk.track_step(
+                            model, cfg, variables, mesh, K, mean, std,
+                            pose, rgb, depth, frame_offset_vu=offset,
+                        )
+                        return new_pose
             self._step_cache[side_key] = fn
         return fn
 
@@ -243,10 +277,12 @@ class StreamTracker:
         """Dispatch one tracking update. Never blocks on the device."""
         if self._hw is None:
             self._hw = rgb_u8.shape[:2]
+        multi = self.samples > 1
+        idx = (np.int32(self._frame_idx),) if multi else ()
         if not self.window:
-            new_pose = self._get_step("full")(
+            out = self._get_step("full")(
                 self._pose_dev, np.ascontiguousarray(rgb_u8),
-                np.ascontiguousarray(depth_u16),
+                np.ascontiguousarray(depth_u16), *idx,
             )
         else:
             self._update_center()
@@ -259,9 +295,17 @@ class StreamTracker:
                 np.ascontiguousarray(rgb_u8[top:top + side, left:left + side]),
                 np.ascontiguousarray(depth_u16[top:top + side, left:left + side]),
             )
-            new_pose = self._get_step(side)(
-                self._pose_dev, packed, self._offset_dev(top, left),
+            out = self._get_step(side)(
+                self._pose_dev, packed, self._offset_dev(top, left), *idx,
             )
+        if multi:
+            new_pose, score = out
+            if self.keep_history:
+                self._scores.append(score)
+            else:
+                self._scores = [score]
+        else:
+            new_pose = out
         self._pose_dev = new_pose
         if self.keep_history:
             self._poses.append(new_pose)
@@ -288,3 +332,12 @@ class StreamTracker:
         if not out:
             return np.zeros((0, 4, 4), np.float32)
         return np.stack([np.asarray(p) for p in out])
+
+    def scores(self) -> np.ndarray:
+        """Per-frame depth-agreement health (samples > 1 only): feed
+        these to hypotheses.ReinitPolicy for automatic drift handling.
+        Blocks. With keep_history=False only the latest is retained."""
+        if not self._scores:
+            return np.zeros((0,), np.float32)
+        return np.asarray([float(np.asarray(s)) for s in self._scores],
+                          np.float32)

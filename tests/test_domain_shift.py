@@ -1,0 +1,126 @@
+"""Domain-shifted sensor model (eval/domain_shift.py): photometric /
+depth corruption statistics, lighting-shift renderer divergence, noisy
+init magnitudes, and the closed-loop long-horizon reinit protocol."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iros20_6d_pose_tracking_tpu.core import se3
+from iros20_6d_pose_tracking_tpu.eval import domain_shift as DS
+from iros20_6d_pose_tracking_tpu.eval import synthetic_benchmark as SB
+from iros20_6d_pose_tracking_tpu.models import tracknet
+from iros20_6d_pose_tracking_tpu.render import mesh as M
+from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+K_SMALL = np.array([[60.0, 0, 32.0], [0, 60.0, 24.0], [0, 0, 1.0]],
+                   np.float32)
+HW = (48, 64)
+
+
+def _clean_video(T=5, hard=False, lighting=None):
+    mesh = rz.upload(M.make_cube(0.08))
+    gt = SB.make_gt_trajectory(T)
+    rgb, dep = SB.render_test_video(mesh, gt, K=K_SMALL, hw=HW, hard=hard,
+                                    impl="xla", lighting=lighting)
+    return mesh, gt, rgb, dep
+
+
+def test_lighting_override_changes_shading_not_geometry():
+    sensor = DS.SensorModel()
+    _, _, rgb_a, dep_a = _clean_video(T=2)
+    _, _, rgb_b, dep_b = _clean_video(T=2, lighting=sensor.lighting())
+    hit = np.asarray(dep_a[0]) > 0
+    # same silhouette + depth (geometry untouched) ...
+    np.testing.assert_allclose(np.asarray(dep_a), np.asarray(dep_b),
+                               atol=1e-3)
+    # ... different appearance (the A-branch/observation gap)
+    diff = np.abs(np.asarray(rgb_a[0]) - np.asarray(rgb_b[0]))[hit]
+    assert diff.mean() > 5.0
+
+
+def test_sensor_model_statistics():
+    sensor = DS.SensorModel()
+    _, gt, rgb, dep = _clean_video(T=6, hard=True)
+    rgb_s, dep_s = DS.shift_video(rgb, dep, gt, K_SMALL, sensor)
+    rgb_s, dep_s = np.asarray(rgb_s), np.asarray(dep_s)
+    assert rgb_s.shape == rgb.shape and dep_s.shape == dep.shape
+    assert rgb_s.min() >= 0.0 and rgb_s.max() <= 255.0
+    # depth quantization: every valid reading is a multiple of the step
+    valid = dep_s > 0
+    q = dep_s[valid] / sensor.depth_quant_mm
+    np.testing.assert_allclose(q, np.round(q), atol=1e-3)
+    # dropout: the shifted video must lose some valid readings
+    assert valid.mean() < (np.asarray(dep) > 0).mean()
+    # photometric shift is substantial but not destructive
+    d = np.abs(rgb_s - np.asarray(rgb)).mean()
+    assert 3.0 < d < 120.0
+
+
+def test_exposure_drift_varies_over_time():
+    sensor = DS.SensorModel(rgb_noise_std=0.0, motion_blur_px=0.0)
+    _, gt, rgb, dep = _clean_video(T=5)
+    # brightness ratio between frames must drift (auto-exposure hunting)
+    rgb_s, _ = DS.shift_video(rgb, dep, gt, K_SMALL, sensor)
+    hits = np.asarray(dep) > 0
+    gains = [np.asarray(rgb_s[t])[hits[t]].mean()
+             / max(np.asarray(rgb[t])[hits[t]].mean(), 1e-6)
+             for t in range(5)]
+    assert np.ptp(gains) > 0.01
+
+
+def test_noisy_init_magnitude():
+    sensor = DS.SensorModel(init_trans_m=0.015, init_rot_deg=8.0)
+    pose = jnp.eye(4).at[2, 3].set(0.6)
+    p = DS.noisy_init_pose(jax.random.PRNGKey(0), pose, sensor)
+    d = np.asarray(se3.pose_inv(pose) @ p)
+    assert abs(np.linalg.norm(d[:3, 3]) - 0.015) < 1e-5
+    ang = np.degrees(np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2,
+                                       -1, 1)))
+    assert abs(ang - 8.0) < 0.01
+
+
+def _zero_head_bench_object(res=48):
+    tm = M.make_cube(0.08)
+    model = tracknet.Se3TrackNet(image_size=res)
+    variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
+    params = variables["params"]
+    for head in ("trans_out", "rot_out"):
+        params[head]["kernel"] = params[head]["kernel"] * 0.0
+        params[head]["bias"] = params[head]["bias"] * 0.0
+    return SB.BenchObject(
+        name="cube", tm=tm, mesh=rz.upload(tm), model=model,
+        variables={"params": params,
+                   "batch_stats": variables["batch_stats"]},
+        mean=jnp.zeros(8), std=jnp.full(8, 100.0),
+        width_mm=tm.diameter * 1000 * 1.1,
+        tcfg=trk.TrackerConfig(resolution=res,
+                               object_width_mm=tm.diameter * 1000 * 1.1,
+                               render_impl="xla"),
+    )
+
+
+@pytest.mark.slow
+def test_long_horizon_reinit_fires_on_drift():
+    """A zero-head (hold-pose) tracker against a moving object: health
+    collapses as gt walks away, ReinitPolicy fires, tracking re-anchors
+    from the noisy external pose — the closed-loop protocol runs end to
+    end and the score improves over never re-initializing."""
+    obj = _zero_head_bench_object()
+    T = 40
+    gt = SB.make_gt_trajectory(T)
+    rgb, dep = SB.render_test_video(obj.mesh, gt, K=K_SMALL, hw=HW,
+                                    impl="xla")
+    r = DS.long_horizon_eval(obj, gt, rgb, dep, K_SMALL, chunk=10,
+                             threshold=0.4, patience=2)
+    assert r["frames"] == T - 1
+    assert r["reinit_count"] >= 1
+    assert np.isfinite(r["add_auc"])
+    # hold-init without reinit drifts to ~the trajectory's full extent;
+    # closed-loop reinit must do better on mean ADD
+    cloud = M.voxel_down_sample(obj.tm.verts, 0.005)
+    from iros20_6d_pose_tracking_tpu.eval import metrics as ME
+
+    base_add, _ = ME.batch_errors(np.tile(gt[:1], (T, 1, 1)), gt, cloud)
+    assert r["add_mean_mm"] < float(base_add.mean() * 1000)
