@@ -29,6 +29,20 @@ def main():
     p.add_argument("--res", type=int, default=176)
     p.add_argument("--clean", action="store_true",
                    help="clean test videos (no background/occluder)")
+    p.add_argument("--ensemble", action="store_true",
+                   help="train all objects simultaneously as a vmapped "
+                        "object ensemble (2-4x faster suite wall time, "
+                        "same recipe per object)")
+    p.add_argument("--domain_shift", action="store_true",
+                   help="also evaluate on domain-SHIFTED videos: "
+                        "different lighting than the tracker's render, "
+                        "photometric drift, sensor-model depth, motion "
+                        "blur, PoseCNN-grade noisy init "
+                        "(eval/domain_shift.py)")
+    p.add_argument("--long_horizon", type=int, default=0,
+                   help="also run the closed-loop long-horizon protocol "
+                        "(ReinitPolicy + noisy external re-init) over "
+                        "this many frames on the first object")
     p.add_argument("--out", default="benchmarks/accuracy_suite_results.json")
     args = p.parse_args()
 
@@ -40,35 +54,69 @@ def main():
         with open(args.out + ".partial", "w") as f:
             json.dump(partial, f, indent=2)
 
+    import time as _time
+
+    t0 = _time.time()
     results = SB.run_suite(
         tuple(args.objects.split(",")),
         steps=args.steps, frames=args.frames, batch=args.batch,
         res=args.res, hard=not args.clean, on_result=checkpoint_results,
+        ensemble=args.ensemble, domain_shift=args.domain_shift,
+        long_horizon_frames=args.long_horizon,
     )
+    # mean AUCs over ASYMMETRIC objects (ADD well-posed); symmetric rows
+    # are scored by ADD-S and reported separately
+    asym = [r for r in results if not r.get("symmetric")]
+    sym = [r for r in results if r.get("symmetric")]
     payload = {
         "protocol": "VOCap AUC @0.1m (reference eval_ycb.py:45-64), "
                     "synthetic hard videos" if not args.clean else
                     "VOCap AUC @0.1m, synthetic clean videos",
         "steps": args.steps,
         "frames": args.frames,
+        "ensemble_training": bool(args.ensemble),
+        "suite_wall_secs": round(_time.time() - t0, 1),
         "results": results,
         "mean_add_auc": float(
-            sum(r["add_auc"] for r in results) / len(results)),
+            sum(r["add_auc"] for r in asym) / max(len(asym), 1)),
         "mean_adi_auc": float(
-            sum(r["adi_auc"] for r in results) / len(results)),
+            sum(r["adi_auc"] for r in asym) / max(len(asym), 1)),
     }
+    if sym:
+        payload["mean_adi_auc_symmetric"] = float(
+            sum(r["adi_auc"] for r in sym) / len(sym))
+    if args.domain_shift:
+        payload["mean_add_auc_domain_shifted"] = float(
+            sum(r["domain_shifted"]["add_auc"] for r in asym)
+            / max(len(asym), 1))
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
 
-    print("\n| object | ADD AUC | ADD-S AUC | mean err | hold-init err |")
-    print("|---|---|---|---|---|")
+    hdr = "| object | ADD AUC | ADD-S AUC | mean err | hold-init err |"
+    cols = 5
+    if args.domain_shift:
+        hdr = hdr[:-1] + " shifted ADD | shifted ADD-S |"
+        cols += 2
+    print("\n" + hdr)
+    print("|" + "---|" * cols)
     for r in results:
-        print(f"| {r['name']} | {r['add_auc']:.2f} | {r['adi_auc']:.2f} "
-              f"| {r['add_mean_mm']:.1f} mm "
-              f"| {r['baseline_add_mean_mm']:.1f} mm |")
-    print(f"| **mean** | **{payload['mean_add_auc']:.2f}** "
-          f"| **{payload['mean_adi_auc']:.2f}** | | |")
-    print(f"\nwrote {args.out}")
+        sym_tag = " (sym)" if r.get("symmetric") else ""
+        line = (f"| {r['name']}{sym_tag} | {r['add_auc']:.2f} "
+                f"| {r['adi_auc']:.2f} | {r['add_mean_mm']:.1f} mm "
+                f"| {r['baseline_add_mean_mm']:.1f} mm |")
+        if args.domain_shift:
+            ds = r["domain_shifted"]
+            line += f" {ds['add_auc']:.2f} | {ds['adi_auc']:.2f} |"
+        print(line)
+    print(f"| **mean (asym)** | **{payload['mean_add_auc']:.2f}** "
+          f"| **{payload['mean_adi_auc']:.2f}** |" + " |" * (cols - 3))
+    lh = next((r.get("long_horizon") for r in results
+               if r.get("long_horizon")), None)
+    if lh:
+        print(f"\nlong-horizon: {lh['frames']} frames, ADD AUC "
+              f"{lh['add_auc']:.2f}, {lh['reinit_count']} reinits "
+              f"at {lh['reinit_frames']}")
+    print(f"\nwrote {args.out} ({payload['suite_wall_secs']:.0f}s)")
 
 
 if __name__ == "__main__":

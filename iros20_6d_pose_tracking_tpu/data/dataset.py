@@ -357,6 +357,18 @@ def _dr_composite_one(key, rgbB, depthB, dr: "DRComposite"):
 )
 def _synth_batch(mesh, K, key, batch_size, resolution, object_width_mm,
                  max_trans, max_rot_deg, xyz_range, dr=None):
+    return _synth_batch_impl(mesh, K, key, batch_size, resolution,
+                             object_width_mm, max_trans, max_rot_deg,
+                             xyz_range, dr)
+
+
+def _synth_batch_impl(mesh, K, key, batch_size, resolution,
+                      object_width_mm, max_trans, max_rot_deg, xyz_range,
+                      dr=None):
+    """Un-jitted sampler body. ``object_width_mm`` may be a TRACED scalar
+    here (compute_bbox supports it) — the object-ensemble sampler vmaps
+    this over per-object (mesh, key, width) so one program renders
+    training pairs for every object at once."""
     kr, kt, kp = jax.random.split(key, 3)
     # Random observed pose B.
     w = se3.random_direction(kr, (batch_size,)) * jax.random.uniform(
@@ -398,3 +410,48 @@ def _synth_batch(mesh, K, key, batch_size, resolution, object_width_mm,
         "A_in_cam": A_in_cam,
         "B_in_cam": B_in_cam,
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("batch_size", "resolution", "max_trans",
+                     "max_rot_deg", "xyz_range", "dr"),
+)
+def ensemble_synth_batch(ens_mesh, K, keys, widths_mm, batch_size,
+                         resolution, max_trans, max_rot_deg, xyz_range,
+                         dr=None):
+    """Per-object synthetic pair batches in ONE program (stacked
+    MeshArrays from parallel/spmd.stack_meshes, per-object keys and
+    TRACED ROI widths). Returns a raw-batch dict with leading
+    (O, batch, ...) axes — the input the ensemble train step
+    (parallel/spmd.ensemble_train_step) consumes. Feeds the suite's
+    --ensemble mode, which trains all objects simultaneously (SURVEY.md
+    section 2: per-object models are independent — the natural
+    parallelism).
+
+    TPU memory design: objects iterate under ``lax.map`` (NOT vmap — a
+    vmapped batch-200 rasterizer multiplies pass-1 temporaries by O and
+    blows HBM: measured 17.4 G at O=4), and images cross to the train
+    step quantized uint8 RGB / uint16 mm depth — exactly the fidelity of
+    the reference's PNG pair files (produce_train_pair_data.py writes
+    8/16-bit PNGs), at a quarter of the float32 residency."""
+
+    def one(args):
+        m, k, w = args
+        raw = _synth_batch_impl(m, K, k, batch_size, resolution, w,
+                                max_trans, max_rot_deg, xyz_range, dr)
+        return {
+            "rgbA": jnp.clip(jnp.round(raw["rgbA"]), 0, 255).astype(
+                jnp.uint8),
+            "depthA": jnp.clip(jnp.round(raw["depthA"]), 0, 65535).astype(
+                jnp.uint16),
+            "rgbB": jnp.clip(jnp.round(raw["rgbB"]), 0, 255).astype(
+                jnp.uint8),
+            "depthB": jnp.clip(jnp.round(raw["depthB"]), 0, 65535).astype(
+                jnp.uint16),
+            "maskB": raw["maskB"],
+            "A_in_cam": raw["A_in_cam"],
+            "B_in_cam": raw["B_in_cam"],
+        }
+
+    return jax.lax.map(one, (ens_mesh, keys, widths_mm))

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..data import augment as A
-from ..data.dataset import DRComposite, SyntheticPairs
+from ..data.dataset import DRComposite, SyntheticPairs, ensemble_synth_batch
 from ..models import tracknet
 from ..render import mesh as M
 from ..render import rasterizer as rz
@@ -46,7 +46,20 @@ OBJECTS = {
     "lshape": lambda: M.make_lshape(),
     # faceted icosahedron: near-round geometry, rotation mostly RGB-borne
     "icosahedron": lambda: M.make_icosphere(subdiv=1, radius=0.05),
+    # uniform cylinder: axial rotation unobservable -> ADD ill-posed,
+    # ADD-S meaningful (the reference's bowl/cans regime,
+    # reference eval_ycb.py:102-118 ADD vs ADI split)
+    "cylinder": lambda: M.make_cylinder(),
+    # uniform sphere: EVERY rotation unobservable; translation-only
+    "sphere": lambda: M.make_plain_sphere(),
+    # thin plate: near-degenerate depth extent + 180-degree flip
+    # ambiguity face-on — a documented failure geometry
+    "plate": lambda: M.make_plate(),
 }
+
+# objects whose geometry leaves rotations unobservable: score them by
+# ADD-S; their ADD column is reported for honesty, not as a target
+SYMMETRIC_OBJECTS = frozenset({"cylinder", "sphere", "plate"})
 
 
 def default_impl() -> str:
@@ -150,6 +163,120 @@ def train_object(
     )
 
 
+def train_objects_ensemble(
+    names,
+    K=YCB_K,
+    *,
+    steps: int = 5_000,
+    batch: int = 200,
+    res: int = 176,
+    dr: DRComposite | None = None,
+    aug: A.AugmentConfig | None = None,
+    impl: str | None = None,
+    log=_print_flush,
+) -> list[BenchObject]:
+    """Train ALL objects simultaneously as a vmapped ensemble — one
+    program per step renders every object's DR pairs and applies every
+    object's Adam update (parallel/spmd.ensemble_train_step +
+    data/dataset.ensemble_synth_batch). On one chip the object axis
+    batches the CNN (4x the MXU feed of sequential runs); on a multi-chip
+    ('obj','dp') mesh the same program shards objects across devices.
+
+    Per-object normalization statistics, widths, and meshes; everything
+    else (recipe, seeds) matches :func:`train_object` semantics. Returns
+    BenchObjects compatible with evaluate_tracking."""
+    from ..parallel import spmd
+
+    impl = impl or default_impl()
+    tms = [OBJECTS[n]() if isinstance(n, str) else n for n in names]
+    names = [n if isinstance(n, str) else f"obj{i}"
+             for i, n in enumerate(names)]
+    O = len(tms)
+    ens_mesh = spmd.stack_meshes(tms)
+    widths = jnp.asarray([tm.diameter * 1000 * 1.1 for tm in tms],
+                         jnp.float32)
+    cfg = tr.TrainConfig(
+        resolution=res, batch_size=batch, learning_rate=1e-3,
+        trans_normalizer=0.02, rot_normalizer=15 * np.pi / 180,
+        aug=aug if aug is not None else A.AugmentConfig(),
+    )
+    xyz_range = ((-0.12, 0.12), (-0.09, 0.09), (0.45, 0.85))
+    Kj = jnp.asarray(K, jnp.float32)
+
+    def sample(key, n):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(O))
+        return ensemble_synth_batch(
+            ens_mesh, Kj, keys, widths, n, res, 0.02, 15.0, xyz_range, dr)
+
+    # per-object mean/std: the reference's "std of batch means" statistic
+    # (train.py:106-125), computed per ensemble slice
+    batch_means = []
+    for i in range(4):
+        raw = sample(jax.random.PRNGKey(900 + i), batch)
+        ms = []
+        for o in range(O):
+            one = jax.tree.map(lambda x: x[o], raw)
+            bufA, bufB, _, _ = tr.preprocess_batch(
+                jax.random.fold_in(jax.random.PRNGKey(i), o), one,
+                jnp.zeros(8), jnp.ones(8), cfg, train=True)
+            ms.append(np.asarray(
+                jnp.concatenate([bufA, bufB], -1).mean(axis=(0, 1, 2))))
+        batch_means.append(np.stack(ms))
+    arr = np.stack(batch_means)                      # (4, O, 8)
+    mean = jnp.asarray(arr.mean(axis=0), jnp.float32)  # (O, 8)
+    std = jnp.asarray(arr.std(axis=0), jnp.float32)
+
+    model = tracknet.Se3TrackNet(image_size=res)
+    tx, _ = tr.make_optimizer(cfg, steps_per_epoch=10_000)
+    states = [tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(i))
+              for i in range(O)]
+    ens_state = spmd.stack_states(states)
+    mesh1 = spmd.make_mesh(1, obj=1)
+    step = spmd.ensemble_train_step(model, tx, cfg, mesh1,
+                                    per_object_stats=True)
+
+    key = jax.random.PRNGKey(7)
+    losses = {n: [] for n in names}
+    t0 = time.time()
+    with mesh1:
+        for i in range(steps):
+            raw = sample(jax.random.fold_in(key, i), batch)
+            step_keys = jax.vmap(
+                lambda o: jax.random.fold_in(
+                    jax.random.fold_in(key, 10**6 + i), o)
+            )(jnp.arange(O))
+            ens_state, m = step(ens_state, step_keys, raw, mean, std)
+            if i % 100 == 0 or i == steps - 1:
+                lv = np.asarray(m["loss"])
+                for o, n in enumerate(names):
+                    losses[n].append(float(lv[o]))
+                log(f"[ensemble x{O}] step {i}: " + " ".join(
+                    f"{n}={lv[o]:.5f}" for o, n in enumerate(names))
+                    + f" ({time.time() - t0:.0f}s)")
+    train_secs = time.time() - t0
+
+    objs = []
+    for o, (n, tm) in enumerate(zip(names, tms)):
+        variables = {
+            "params": jax.tree.map(lambda x: x[o], ens_state.params),
+            "batch_stats": jax.tree.map(lambda x: x[o],
+                                        ens_state.batch_stats),
+        }
+        w = float(widths[o])
+        tcfg = trk.TrackerConfig(
+            resolution=res, trans_normalizer=0.02,
+            rot_normalizer=15 * np.pi / 180, object_width_mm=w,
+            render_impl=impl,
+        )
+        objs.append(BenchObject(
+            name=n, tm=tm, mesh=rz.upload(tm), model=model,
+            variables=variables, mean=mean[o], std=std[o], width_mm=w,
+            tcfg=tcfg, train_secs=train_secs / O, losses=losses[n],
+        ))
+    return objs
+
+
 def make_gt_trajectory(T: int, seed: int = 5,
                        z0: float = 0.6) -> np.ndarray:
     """(T, 4, 4) smooth random-walk camera-frame trajectory: 6 deg/frame
@@ -171,6 +298,10 @@ def make_gt_trajectory(T: int, seed: int = 5,
             w_vel = w_vel / np.linalg.norm(w_vel) * np.deg2rad(6.0)
             t_vel = rng.randn(3) * 0.004
         cur[:3, 3] = prev[:3, 3] + t_vel
+        # keep the object inside the camera frustum — long-horizon runs
+        # (500+ frames) would otherwise random-walk out of frame
+        cur[0, 3] = np.clip(cur[0, 3], -0.12, 0.12)
+        cur[1, 3] = np.clip(cur[1, 3], -0.09, 0.09)
         cur[2, 3] = np.clip(cur[2, 3], 0.45, 0.9)
         gt.append(cur)
     return np.stack(gt)
@@ -319,6 +450,10 @@ def run_suite(
     impl: str | None = None,
     log=_print_flush,
     on_result=None,
+    ensemble: bool = False,
+    domain_shift: bool = False,
+    shift_sensor=None,
+    long_horizon_frames: int = 0,
 ) -> list[dict]:
     """Train + track + score each object; returns per-object metric
     dicts (the framework's accuracy table).
@@ -326,25 +461,47 @@ def run_suite(
     Defaults are the measured recipe: batch 200 (the reference's
     config.yml:19 batch, which the fused on-device step makes cheap) for
     5k steps = 1M DR pairs per object — the scale at which hard-video
-    tracking converges (batch-32 runs drift)."""
+    tracking converges (batch-32 runs drift).
+
+    ``ensemble``: train all objects SIMULTANEOUSLY as a vmapped object
+    ensemble (one program per step; 4x MXU feed and a fraction of the
+    sequential wall time — :func:`train_objects_ensemble`).
+    ``domain_shift``: additionally evaluate each object on a
+    domain-SHIFTED video (different lighting constants than the
+    tracker's A branch, photometric drift, sensor-model depth, motion
+    blur, noisy init — eval/domain_shift.py) and report both tables.
+    ``long_horizon_frames``: when > 0, also run the closed-loop
+    long-horizon protocol (domain_shift.long_horizon_eval — health-score
+    ReinitPolicy + noisy external re-init) over that many frames on the
+    FIRST object, attached as results[0]['long_horizon'].
+    """
     unknown = [n for n in object_names if n not in OBJECTS]
     if unknown:  # fail BEFORE hours of training, not at the bad name
         raise KeyError(
             f"unknown object(s) {unknown}; available: {sorted(OBJECTS)}")
+    dr = DRComposite() if hard else None
+    aug = hard_aug() if hard else None
+    objs = None
+    if ensemble:
+        objs = train_objects_ensemble(
+            object_names, steps=steps, batch=batch, res=res, dr=dr,
+            aug=aug, impl=impl, log=log)
     results = []
     for idx, name in enumerate(object_names):
-        tm = OBJECTS[name]()
-        obj = train_object(
-            tm, name=name, steps=steps, batch=batch, res=res,
-            dr=DRComposite() if hard else None,
-            aug=hard_aug() if hard else None, impl=impl,
-            seed_offset=idx, log=log,
-        )
+        if objs is not None:
+            obj = objs[idx]
+        else:
+            obj = train_object(
+                OBJECTS[name](), name=name, steps=steps, batch=batch,
+                res=res, dr=dr, aug=aug, impl=impl, seed_offset=idx,
+                log=log,
+            )
         gt = make_gt_trajectory(frames)
         frames_rgb, frames_depth = render_test_video(
             obj.mesh, gt, hard=hard, impl=impl)
         r = evaluate_tracking(obj, gt, frames_rgb, frames_depth)
         r["train_secs"] = obj.train_secs
+        r["symmetric"] = name in SYMMETRIC_OBJECTS
         r.pop("poses")
         # JSON-serializable per-frame curves
         r["add"] = [float(v) for v in r["add"]]
@@ -353,6 +510,48 @@ def run_suite(
             f"ADD-S AUC {r['adi_auc']:.2f} "
             f"mean {r['add_mean_mm']:.1f}mm "
             f"(hold-init {r['baseline_add_mean_mm']:.1f}mm)")
+        if domain_shift:
+            from . import domain_shift as DS
+
+            sensor = shift_sensor if shift_sensor is not None else \
+                DS.SensorModel()
+            rgb2, dep2 = render_test_video(
+                obj.mesh, gt, hard=hard, impl=impl,
+                lighting=sensor.lighting())
+            rgb_s, dep_s = DS.shift_video(rgb2, dep2, gt, YCB_K, sensor,
+                                          seed=100 + idx)
+            init = DS.noisy_init_pose(jax.random.PRNGKey(500 + idx),
+                                      gt[0], sensor)
+            rs = evaluate_tracking(obj, gt, rgb_s, dep_s, init_pose=init)
+            r["domain_shifted"] = {
+                k: rs[k] for k in (
+                    "add_auc", "adi_auc", "add_mean_mm", "add_max_mm",
+                    "final_trans_err_mm")
+            }
+            log(f"[{name}] domain-shifted: "
+                f"ADD AUC {rs['add_auc']:.2f} "
+                f"ADD-S AUC {rs['adi_auc']:.2f} "
+                f"mean {rs['add_mean_mm']:.1f}mm (noisy init, shifted "
+                f"lighting/sensor)")
+        if long_horizon_frames and idx == 0:
+            from . import domain_shift as DS
+
+            sensor = shift_sensor if shift_sensor is not None else \
+                DS.SensorModel()
+            gt_lh = make_gt_trajectory(long_horizon_frames, seed=17)
+            rgb_lh, dep_lh = render_test_video(
+                obj.mesh, gt_lh, hard=hard, impl=impl,
+                lighting=sensor.lighting() if domain_shift else None)
+            if domain_shift:
+                rgb_lh, dep_lh = DS.shift_video(rgb_lh, dep_lh, gt_lh,
+                                                YCB_K, sensor, seed=777)
+            r["long_horizon"] = DS.long_horizon_eval(
+                obj, gt_lh, rgb_lh, dep_lh, YCB_K,
+                reinit_sensor=sensor)
+            lh = r["long_horizon"]
+            log(f"[{name}] long-horizon {lh['frames']}fr: "
+                f"ADD AUC {lh['add_auc']:.2f} "
+                f"reinit x{lh['reinit_count']}")
         results.append(r)
         if on_result is not None:  # incremental persistence for long runs
             on_result(list(results))

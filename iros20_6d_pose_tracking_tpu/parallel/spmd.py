@@ -87,21 +87,28 @@ def dp_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh):
     return jax.jit(constrained, donate_argnums=(0,))
 
 
-def ensemble_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh):
+def ensemble_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh,
+                        per_object_stats: bool = False):
     """Object-ensemble (EP) x data-parallel (DP) train step.
 
     State/keys carry a leading object axis sharded on 'obj'; batches are
-    (obj, batch, ...) sharded ('obj', 'dp'); mean/std are shared. One jit;
-    GSPMD lowers to per-slice compute + ICI all-reduce inside each
-    object's dp group.
+    (obj, batch, ...) sharded ('obj', 'dp'). One jit; GSPMD lowers to
+    per-slice compute + ICI all-reduce inside each object's dp group.
+
+    ``per_object_stats``: mean/std carry a leading object axis too
+    (each object's network normalizes with ITS OWN training statistics —
+    the accuracy suite's ensemble mode); default shares one (8,) pair.
     """
+    stats_axis = 0 if per_object_stats else None
     vstep = jax.vmap(
         functools.partial(tr.train_step_impl, model, tx, cfg),
-        in_axes=(0, 0, 0, None, None),
+        in_axes=(0, 0, 0, stats_axis, stats_axis),
     )
     obj_sh = _leaf_spec(mesh, "obj")
     batch_sh = NamedSharding(mesh, P("obj", "dp"))
     repl = NamedSharding(mesh, P())
+    stats_sh = (lambda x: obj_sh(x)) if per_object_stats else (
+        lambda x: repl)
 
     def step(state, keys, raw_batch, mean, std):
         state = jax.tree.map(
@@ -110,8 +117,8 @@ def ensemble_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh):
         raw_batch = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, batch_sh), raw_batch
         )
-        mean = jax.lax.with_sharding_constraint(mean, repl)
-        std = jax.lax.with_sharding_constraint(std, repl)
+        mean = jax.lax.with_sharding_constraint(mean, stats_sh(mean))
+        std = jax.lax.with_sharding_constraint(std, stats_sh(std))
         return vstep(state, keys, raw_batch, mean, std)
 
     return jax.jit(step, donate_argnums=(0,))
@@ -150,7 +157,10 @@ def batched_track_videos(model, cfg, mesh: Mesh):
 def stack_meshes(meshes: list) -> Any:
     """Stack per-object TriMeshes into one ensemble MeshArrays with a
     leading object axis; faces padded to the largest object's count so
-    shapes are uniform (fmask already marks real faces)."""
+    shapes are uniform (fmask already marks real faces).
+
+    Textured meshes are baked to vertex colors first: per-object texture
+    images have different shapes and cannot share one stacked array."""
     import numpy as np
 
     from ..render import mesh as mesh_mod
@@ -159,6 +169,16 @@ def stack_meshes(meshes: list) -> Any:
     max_f = max(m.faces.shape[0] for m in meshes)
     uploaded = []
     for m in meshes:
+        if m.texture is not None and m.face_uvs is not None:
+            m = mesh_mod.TriMesh(
+                verts=m.verts,
+                faces=m.faces,
+                colors=mesh_mod.bake_texture_to_colors(
+                    m.verts, m.faces[: m.num_faces],
+                    m.face_uvs[: m.num_faces], m.texture),
+                normals=m.normals,
+                num_faces=m.num_faces,
+            )
         pad = max_f - m.faces.shape[0]
         if pad:
             m = mesh_mod.TriMesh(
