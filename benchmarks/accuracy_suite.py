@@ -95,7 +95,7 @@ def main():
     hdr = "| object | ADD AUC | ADD-S AUC | mean err | hold-init err |"
     cols = 5
     if args.domain_shift:
-        hdr = hdr[:-1] + " shifted ADD | shifted ADD-S |"
+        hdr = hdr + " shifted ADD | shifted ADD-S |"
         cols += 2
     print("\n" + hdr)
     print("|" + "---|" * cols)

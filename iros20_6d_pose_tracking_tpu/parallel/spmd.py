@@ -88,7 +88,8 @@ def dp_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh):
 
 
 def ensemble_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh,
-                        per_object_stats: bool = False):
+                        per_object_stats: bool = False,
+                        serial: bool | None = None):
     """Object-ensemble (EP) x data-parallel (DP) train step.
 
     State/keys carry a leading object axis sharded on 'obj'; batches are
@@ -98,7 +99,33 @@ def ensemble_train_step(model, tx, cfg: tr.TrainConfig, mesh: Mesh,
     ``per_object_stats``: mean/std carry a leading object axis too
     (each object's network normalizes with ITS OWN training statistics —
     the accuracy suite's ensemble mode); default shares one (8,) pair.
+
+    ``serial`` (default: auto = single-device mesh): iterate objects
+    with ``lax.map`` inside the one program instead of vmapping. On ONE
+    device a vmapped per-object-WEIGHTS conv lowers to grouped
+    convolutions the TPU runs catastrophically slowly (measured 6.7 s vs
+    0.25 s per step at O=4 x batch 200 — 26x); lax.map keeps each
+    object's convs in standard form at perfect scaling. On a multi-chip
+    mesh the vmap path is right: GSPMD shards the object axis so each
+    device runs its own object's ordinary convs in parallel.
     """
+    if serial is None:
+        serial = mesh.devices.size == 1
+    if serial:
+        def step_serial(state, keys, raw_batch, mean, std):
+            O = keys.shape[0]
+            if not per_object_stats:
+                mean = jnp.broadcast_to(mean, (O,) + mean.shape)
+                std = jnp.broadcast_to(std, (O,) + std.shape)
+
+            def one(args):
+                s, k, r, mn, sd = args
+                return tr.train_step_impl(model, tx, cfg, s, k, r, mn, sd)
+
+            return jax.lax.map(one, (state, keys, raw_batch, mean, std))
+
+        return jax.jit(step_serial, donate_argnums=(0,))
+
     stats_axis = 0 if per_object_stats else None
     vstep = jax.vmap(
         functools.partial(tr.train_step_impl, model, tx, cfg),

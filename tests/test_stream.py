@@ -216,3 +216,45 @@ def test_chunked_callable_sources():
     whole = t.track_video(pose, rgbs, depths)
     np.testing.assert_allclose(chunked, whole, atol=1e-6)
     assert calls == [(0, 2), (2, 4), (4, 5)]
+
+
+def test_stream_multi_hypothesis_scores():
+    """StreamTracker(samples=4): windowed pushes refine 4 hypotheses per
+    frame and surface per-frame health scores in [0, 1]; the winner
+    trajectory stays near the (static-scene) init like the single path."""
+    t = _tracker(head_scale=0.0)
+    pose0 = np.eye(4, dtype=np.float32)
+    pose0[2, 3] = 0.5
+    rgb, depth = _video(t, pose0, 5)
+    s = st.StreamTracker(t, window=True, samples=4)
+    s.begin(pose0, image_hw=(H, W))
+    for i in range(5):
+        s.push(rgb[i], depth[i])
+    poses = s.poses()
+    scores = s.scores()
+    assert poses.shape == (5, 4, 4) and np.isfinite(poses).all()
+    assert scores.shape == (5,)
+    assert (scores >= 0).all() and (scores <= 1).all()
+    # static scene + zero heads: the perturbed hypotheses must not beat
+    # the true-pose hypothesis by much — trajectory stays close to init
+    assert np.linalg.norm(poses[-1][:3, 3] - pose0[:3, 3]) < 0.02
+    # a second begin() resets score history
+    s.begin(pose0, image_hw=(H, W))
+    assert s.scores().shape == (0,)
+
+
+def test_track_video_multi_scan_runs():
+    """Whole-video multi-hypothesis scan: finite poses + health scores."""
+    from iros20_6d_pose_tracking_tpu.tracking import hypotheses as hy
+
+    t = _tracker(head_scale=0.0)
+    pose0 = np.eye(4, dtype=np.float32)
+    pose0[2, 3] = 0.5
+    rgb, depth = _video(t, pose0, 4)
+    poses, scores = hy.track_video_multi(
+        t.model, t.cfg, t.variables, t.mesh, t.K, t.mean, t.std,
+        jnp.asarray(pose0), jnp.asarray(rgb), jnp.asarray(depth),
+        jax.random.PRNGKey(0), samples=3)
+    assert poses.shape == (4, 4, 4) and np.isfinite(np.asarray(poses)).all()
+    assert scores.shape == (4,)
+    assert float(scores[0]) > 0.5  # true pose on a clean scene
