@@ -279,6 +279,108 @@ def pallas_pass1(coef, block_bbox, hw: tuple[int, int],
 
 
 # ---------------------------------------------------------------------------
+# Pass-2 attribute-row gather: one-hot MXU matmul over the winner range.
+# ---------------------------------------------------------------------------
+
+def split_f32_to_bf16_terms(x):
+    """Exact 3-term bf16 decomposition of f32: hi + mid + lo == x bitwise
+    (24-bit mantissa = 3 x 8-bit bf16 terms; round-to-nearest makes each
+    residual exactly representable). Lets the MXU gather f32 rows EXACTLY:
+    onehot @ hi + onehot @ mid + onehot @ lo with f32 accumulation selects
+    each term exactly (0/1 products are exact, the three terms reassemble
+    the original mantissa without rounding)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _gather_kernel(winner_ref, cov_ref, hi_ref, mid_ref, lo_ref, out_ref, *,
+                   pix_tile, chunk, n_chunks, ncols):
+    """Per pixel tile: rows[p, :] = attr[winner[p], :] via one-hot
+    matmuls on the MXU, visiting only face chunks inside the tile's
+    [min, max] winner range.
+
+    TPU has no general vector gather; XLA lowers jnp.take to a slow
+    HBM-side loop (~0.34 ms for 31k x 36 f32 at 176^2 — docs/KERNEL.md).
+    Here each chunk visit is (tile, chunk) @ (chunk, C) on the MXU with
+    the one-hot selector built in VMEM. Winners within a pixel tile are
+    spatially coherent (Morton-ordered faces), so the range test skips
+    most chunks; non-covered pixels are excluded from the range and
+    produce zero rows (callers mask them by `hit` anyway)."""
+    w = winner_ref[:]                      # (tile, 1) int32
+    cov = cov_ref[:]                       # (tile, 1) int32, 1 = covered
+    big = jnp.int32(1 << 30)
+    wmin = jnp.min(jnp.where(cov == 1, w, big))
+    wmax = jnp.max(jnp.where(cov == 1, w, jnp.int32(-1)))
+    c0 = wmin // chunk
+    c1 = wmax // chunk                     # inclusive; -1 when none covered
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (pix_tile, chunk), 1)
+
+    def body(j, acc):
+        def visit(acc):
+            s = pl.multiple_of(j * chunk, chunk)
+            onehot = (lanes == (w - s)).astype(jnp.bfloat16)
+            sel = lambda ref: jax.lax.dot_general(
+                onehot, ref[pl.ds(s, chunk), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc + sel(hi_ref) + sel(mid_ref) + sel(lo_ref)
+
+        return jax.lax.cond((j >= c0) & (j <= c1), visit, lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((pix_tile, ncols), jnp.float32))
+    out_ref[:] = acc
+
+
+def pallas_gather_rows(attr, winner_flat, covered_flat,
+                       pix_tile: int = DEF_PIX_TILE, chunk: int = 512,
+                       interpret: bool = False):
+    """rows[p, :] = attr[winner_flat[p], :] for covered pixels (zeros
+    elsewhere): the fused pass-2 gather. attr (F, C) f32; winner_flat (P,)
+    int32 (any values for non-covered pixels); covered_flat (P,) bool."""
+    F, C = attr.shape
+    P = winner_flat.shape[0]
+    if F % chunk:
+        attr = jnp.concatenate(
+            [attr, jnp.zeros((chunk - F % chunk, C), attr.dtype)], axis=0)
+        F = attr.shape[0]
+    n_chunks = F // chunk
+    n_tiles = -(-P // pix_tile)
+    P_pad = n_tiles * pix_tile
+    if P_pad != P:
+        winner_flat = jnp.concatenate(
+            [winner_flat, jnp.zeros((P_pad - P,), winner_flat.dtype)])
+        covered_flat = jnp.concatenate(
+            [covered_flat, jnp.zeros((P_pad - P,), jnp.bool_)])
+    hi, mid, lo = split_f32_to_bf16_terms(attr)
+    kernel = functools.partial(
+        _gather_kernel, pix_tile=pix_tile, chunk=chunk, n_chunks=n_chunks,
+        ncols=C)
+    rows = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((pix_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # winner
+            pl.BlockSpec((pix_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # covered
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # hi (F, C), resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mid
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lo
+        ],
+        out_specs=pl.BlockSpec((pix_tile, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P_pad, C), jnp.float32),
+        interpret=interpret,
+    )(winner_flat.reshape(-1, 1).astype(jnp.int32),
+      covered_flat.reshape(-1, 1).astype(jnp.int32), hi, mid, lo)
+    return rows[:P]
+
+
+# ---------------------------------------------------------------------------
 # Work-list (compacted binning) variant: compute ONLY intersecting
 # (pixel-tile, face-block) pairs.
 # ---------------------------------------------------------------------------

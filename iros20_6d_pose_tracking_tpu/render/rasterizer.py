@@ -267,18 +267,30 @@ def _face_attr_coefficients(fx, fy, fiz, fvalid, mesh: MeshArrays):
 
 
 def _pass2_shade(mesh: MeshArrays, R, t, attr_coef, zmin, winner, hit,
-                 out_hw, depth_from_form: bool = False, lighting=None):
+                 out_hw, depth_from_form: bool = False, lighting=None,
+                 gather_impl: str = "xla"):
     """Shade the winning triangle per pixel from its linear attribute
     forms: one row gather + FMAs per pixel.
 
     ``depth_from_form``: take metric depth from the winner's exact
     1/z linear form instead of ``zmin`` (used by the Pallas path, whose
-    pass-1 z-test trades the low mantissa bits for a packed argmax)."""
+    pass-1 z-test trades the low mantissa bits for a packed argmax).
+
+    ``gather_impl``: 'xla' uses jnp.take (slow HBM-side loop on TPU);
+    'pallas'/'pallas_interpret' uses the one-hot MXU gather kernel
+    (pallas_raster.pallas_gather_rows) — bit-exact rows via the 3-term
+    bf16 split, visiting only the winner range per pixel tile."""
     H, W = out_hw
     winner_f = winner.reshape(-1)
     zmin_f = zmin.reshape(-1)
     hit_f = hit.reshape(-1)
-    row = jnp.take(attr_coef, winner_f, axis=0)  # (P, 30|36)
+    if gather_impl in ("pallas", "pallas_interpret"):
+        covered = jnp.isfinite(zmin_f)
+        row = pr.pallas_gather_rows(
+            attr_coef, winner_f, covered,
+            interpret=(gather_impl == "pallas_interpret"))
+    else:
+        row = jnp.take(attr_coef, winner_f, axis=0)  # (P, 30|36)
     return shade_rows(R, t, row, zmin_f, hit_f, out_hw,
                       depth_from_form=depth_from_form,
                       texture=mesh.texture, lighting=lighting)
@@ -452,7 +464,7 @@ def pass1(fx, fy, fiz, fvalid, out_hw, face_block: int = FACE_BLOCK,
 @functools.partial(
     jax.jit,
     static_argnames=("out_hw", "face_block", "skip_blocks", "impl",
-                     "cull_backfaces"),
+                     "cull_backfaces", "fuse_pass2"),
 )
 def render(
     mesh: MeshArrays,
@@ -467,6 +479,7 @@ def render(
     impl: str = "xla",
     cull_backfaces: bool = False,
     lighting: jax.Array | None = None,
+    fuse_pass2: bool = False,
 ):
     """Render the mesh at ``pose`` (CV camera frame) into the ROI window.
 
@@ -486,6 +499,10 @@ def render(
         Morton order keeps the survivors block-coherent). Leave False for
         open/self-intersecting geometry. The Pallas path compacts; the
         XLA path masks only.
+      fuse_pass2: Pallas impls only — replace the XLA jnp.take row
+        gather in pass 2 with the one-hot MXU gather kernel (bit-exact
+        rows; visits only each pixel tile's winner range). No effect on
+        the XLA impl.
 
     Returns:
       rgb: (H, W, 3) float32 in [0, 255]
@@ -533,9 +550,12 @@ def render(
     winner = jnp.clip(winner, 0, mesh.fverts.shape[0] - 1)
     hit = jnp.isfinite(zmin) & (zmin < far)
 
+    gather_impl = "xla"
+    if fuse_pass2 and impl.startswith("pallas"):
+        gather_impl = impl  # 'pallas' or 'pallas_interpret'
     return _pass2_shade(mesh, R, t, attr_coef, zmin, winner, hit, out_hw,
                         depth_from_form=impl.startswith("pallas"),
-                        lighting=lighting)
+                        lighting=lighting, gather_impl=gather_impl)
 
 
 def render_at_bbox(

@@ -36,6 +36,7 @@ def depth_agreement(
     cfg: trk.TrackerConfig,
     tol_mm: float = 20.0,
     frame_offset_vu: jax.Array | None = None,
+    score_res: int | None = None,
 ):
     """Render-vs-observed depth consistency in the pose's ROI.
 
@@ -45,15 +46,23 @@ def depth_agreement(
     from the denominator so partial occlusion doesn't read as drift.
     ``frame_offset_vu``: (row, col) of the frame's origin in full-image
     coordinates when only a sub-window was uploaded (tracking/stream.py).
+    ``score_res``: ROI resolution for the scoring render/crop (default
+    ``cfg.resolution``). The score is a pixel FRACTION, so half
+    resolution changes it only at silhouette edges while cutting the
+    per-hypothesis scoring render cost ~4x — the batched multi-
+    hypothesis path uses this (track_step_multi).
     """
-    res = (cfg.resolution, cfg.resolution)
+    r = int(score_res or cfg.resolution)
+    res = (r, r)
     bbox = roi_ops.compute_bbox(pose, K, cfg.object_width_mm,
                                 (1000.0, 1000.0, 1000.0))
     window = rz.window_from_bbox(bbox)
     bbox_local = bbox if frame_offset_vu is None else (
         bbox - frame_offset_vu[None, :].astype(jnp.int32))
     _, depth_r = rz.render(mesh, pose, K, window, out_hw=res,
-                           near=cfg.near, far=cfg.far, impl=cfg.render_impl)
+                           near=cfg.near, far=cfg.far, impl=cfg.render_impl,
+                           cull_backfaces=cfg.cull_backfaces,
+                           fuse_pass2=cfg.fuse_pass2)
     depth_o = roi_ops.crop_resize_nearest(
         frame_depth_mm,
         jnp.min(bbox_local[:, 0]), jnp.min(bbox_local[:, 1]),
@@ -124,8 +133,14 @@ def track_step_multi(
             model, cfg, variables, mesh, K, mean, std, p, frame_rgb,
             frame_depth_mm, frame_offset_vu=frame_offset_vu,
         )
-        score = depth_agreement(mesh, new_pose, K, frame_depth_mm, cfg,
-                                frame_offset_vu=frame_offset_vu)
+        # Score at half resolution, floored at 88 px: the scoring render
+        # is ~4x cheaper and the pixel-fraction metric only shifts at
+        # silhouette edges. ROIs already <= 88 px keep full resolution
+        # (at tiny sizes the edge share would dominate the score).
+        score = depth_agreement(
+            mesh, new_pose, K, frame_depth_mm, cfg,
+            frame_offset_vu=frame_offset_vu,
+            score_res=min(cfg.resolution, max(88, cfg.resolution // 2)))
         return new_pose, score
 
     new_poses, scores = jax.vmap(one)(hypo)

@@ -54,6 +54,9 @@ class TrackerConfig:
     render_impl: str = "xla"                # 'pallas' on TPU hardware
     cull_backfaces: bool = False            # True for closed CAD meshes:
                                             # ~halves pass-1 raster work
+    fuse_pass2: bool = False                # pallas impl only: one-hot MXU
+                                            # gather kernel for pass 2
+                                            # (bit-exact vs jnp.take)
 
 
 def default_render_impl() -> str:
@@ -144,6 +147,7 @@ def track_step(
     rgbA, depthA = rz.render(
         mesh, prev_pose, K, window, out_hw=res, near=cfg.near, far=cfg.far,
         impl=cfg.render_impl, cull_backfaces=cfg.cull_backfaces,
+        fuse_pass2=cfg.fuse_pass2,
     )
     bufA, bufB = normalize_pair(rgbA, depthA, rgbB, depthB, prev_pose, mean, std)
     out = model.apply(variables, bufA[None], bufB[None], train=False)

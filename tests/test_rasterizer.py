@@ -221,3 +221,34 @@ def test_worklist_kernel_matches_default():
                                         face_block=256, interpret=True)
     np.testing.assert_allclose(np.asarray(iz2), np.asarray(iz1), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(id2), np.asarray(id1))
+
+
+def test_fused_pass2_gather_bit_identical():
+    """fuse_pass2 (one-hot MXU gather kernel) must be BIT-identical to
+    the jnp.take pass-2 on the pallas path: the 3-term bf16 split
+    reassembles each f32 attribute row exactly."""
+    from iros20_6d_pose_tracking_tpu.render import pallas_raster as pr
+
+    rng = np.random.RandomState(0)
+    F, C, P = 1280, 36, 7013  # non-multiple P exercises tile padding
+    attr = jnp.asarray(rng.randn(F, C).astype(np.float32) * 100)
+    winner = jnp.asarray(rng.randint(0, F, (P,)).astype(np.int32))
+    covered = jnp.asarray(rng.rand(P) > 0.3)
+    rows = np.asarray(pr.pallas_gather_rows(attr, winner, covered,
+                                            interpret=True))
+    ref = np.asarray(jnp.take(attr, winner, axis=0))
+    cov = np.asarray(covered)
+    np.testing.assert_array_equal(rows[cov], ref[cov])
+
+    sph = Rz.upload(M.make_icosphere(subdiv=3, radius=0.04))
+    pose = _pose([0.03, 0.02, 0.55], (0.4, -0.2, 0.3))
+    win = (150.0, 450.0, 100.0, 400.0)
+    for cull in (False, True):
+        r0, d0 = Rz.render(sph, pose, jnp.array(K), win, out_hw=(128, 128),
+                           impl="pallas_interpret", cull_backfaces=cull)
+        r1, d1 = Rz.render(sph, pose, jnp.array(K), win, out_hw=(128, 128),
+                           impl="pallas_interpret", cull_backfaces=cull,
+                           fuse_pass2=True)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+        assert (np.asarray(d1) > 0).sum() > 100
