@@ -252,6 +252,7 @@ class SyntheticPairs:
         max_rot_deg: float = 15.0,
         xyz_range=((-0.1, 0.1), (-0.1, 0.1), (0.4, 0.9)),
         dr: DRComposite | None = None,
+        render_impl: str | None = None,
     ):
         self.mesh = mesh
         self.K = jnp.asarray(K, jnp.float32)
@@ -261,6 +262,13 @@ class SyntheticPairs:
         self.max_rot_deg = max_rot_deg
         self.xyz_range = xyz_range
         self.dr = dr
+        # Measured (TPU v5e, batch 200 x 176^2, 10-iter steady state):
+        # the XLA sweep wins the BATCHED sampler 2.25x (195 vs 439
+        # ms/iter incl. train step) — at batch the (P, Fb) temporaries
+        # fuse/pipeline well, while the Pallas kernel's 200 x 61-program
+        # grid pays fixed per-program overhead with no latency to hide.
+        # (Batch-1 tracking is the opposite: pallas 5x — docs/KERNEL.md.)
+        self.render_impl = render_impl or "xla"
 
     def sample_batch(self, key, batch_size: int):
         return _synth_batch(
@@ -274,6 +282,7 @@ class SyntheticPairs:
             self.max_rot_deg,
             tuple(map(tuple, self.xyz_range)),
             self.dr,
+            self.render_impl,
         )
 
 
@@ -353,18 +362,19 @@ def _dr_composite_one(key, rgbB, depthB, dr: "DRComposite"):
 @functools.partial(
     jax.jit,
     static_argnames=("batch_size", "resolution", "object_width_mm",
-                     "max_trans", "max_rot_deg", "xyz_range", "dr"),
+                     "max_trans", "max_rot_deg", "xyz_range", "dr",
+                     "impl"),
 )
 def _synth_batch(mesh, K, key, batch_size, resolution, object_width_mm,
-                 max_trans, max_rot_deg, xyz_range, dr=None):
+                 max_trans, max_rot_deg, xyz_range, dr=None, impl="xla"):
     return _synth_batch_impl(mesh, K, key, batch_size, resolution,
                              object_width_mm, max_trans, max_rot_deg,
-                             xyz_range, dr)
+                             xyz_range, dr, impl)
 
 
 def _synth_batch_impl(mesh, K, key, batch_size, resolution,
                       object_width_mm, max_trans, max_rot_deg, xyz_range,
-                      dr=None):
+                      dr=None, impl="xla"):
     """Un-jitted sampler body. ``object_width_mm`` may be a TRACED scalar
     here (compute_bbox supports it) — the object-ensemble sampler vmaps
     this over per-object (mesh, key, width) so one program renders
@@ -389,8 +399,10 @@ def _synth_batch_impl(mesh, K, key, batch_size, resolution,
     def render_pair(pa, pb):
         bbox = roi_ops.compute_bbox(pa, K, object_width_mm, (1000.0, 1000.0, 1000.0))
         window = rz.window_from_bbox(bbox)
-        rgbA, depthA = rz.render(mesh, pa, K, window, out_hw=res)
-        rgbB, depthB = rz.render(mesh, pb, K, window, out_hw=res)
+        rgbA, depthA = rz.render(mesh, pa, K, window, out_hw=res,
+                                 impl=impl)
+        rgbB, depthB = rz.render(mesh, pb, K, window, out_hw=res,
+                                 impl=impl)
         return rgbA, depthA, rgbB, depthB
 
     rgbA, depthA, rgbB, depthB = jax.vmap(render_pair)(A_in_cam, B_in_cam)
@@ -415,11 +427,11 @@ def _synth_batch_impl(mesh, K, key, batch_size, resolution,
 @functools.partial(
     jax.jit,
     static_argnames=("batch_size", "resolution", "max_trans",
-                     "max_rot_deg", "xyz_range", "dr"),
+                     "max_rot_deg", "xyz_range", "dr", "impl"),
 )
 def ensemble_synth_batch(ens_mesh, K, keys, widths_mm, batch_size,
                          resolution, max_trans, max_rot_deg, xyz_range,
-                         dr=None):
+                         dr=None, impl="xla"):
     """Per-object synthetic pair batches in ONE program (stacked
     MeshArrays from parallel/spmd.stack_meshes, per-object keys and
     TRACED ROI widths). Returns a raw-batch dict with leading
@@ -439,7 +451,8 @@ def ensemble_synth_batch(ens_mesh, K, keys, widths_mm, batch_size,
     def one(args):
         m, k, w = args
         raw = _synth_batch_impl(m, K, k, batch_size, resolution, w,
-                                max_trans, max_rot_deg, xyz_range, dr)
+                                max_trans, max_rot_deg, xyz_range, dr,
+                                impl)
         return {
             "rgbA": jnp.clip(jnp.round(raw["rgbA"]), 0, 255).astype(
                 jnp.uint8),

@@ -92,6 +92,14 @@ def upload(mesh: TriMesh) -> MeshArrays:
     )
 
 
+def default_impl() -> str:
+    """Auto pass-1 implementation: the Pallas kernel on the TPU backend,
+    the XLA sweep elsewhere (CPU hosts/tests, GPU backends where pltpu
+    cannot lower). Single source of truth for Tracker, the synthetic
+    samplers, and the eval harnesses."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def full_frame_window(width: int, height: int):
     """Window covering the full image with integer-centered pixels."""
     return (-0.5, width - 0.5, -0.5, height - 0.5)

@@ -60,12 +60,10 @@ class TrackerConfig:
 
 
 def default_render_impl() -> str:
-    """Auto renderer selection: the Pallas kernel on the TPU backend
-    (render/pallas_raster.py), the XLA path everywhere else (CPU
-    hosts/tests, GPU backends where pltpu cannot lower). The single
-    source of truth — Tracker and eval/synthetic_benchmark both use it.
-    """
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    """Auto renderer selection — delegates to rasterizer.default_impl()
+    (the single source of truth; Tracker, the synthetic samplers, and
+    eval/synthetic_benchmark all use it)."""
+    return rz.default_impl()
 
 
 def pack_channels(rgb, depth):
