@@ -55,6 +55,10 @@ OBJECTS = {
     # thin plate: near-degenerate depth extent + 180-degree flip
     # ambiguity face-on — a documented failure geometry
     "plate": lambda: M.make_plate(),
+    # UV-textured box: sub-face texture detail through the full loop
+    # (train on textured renders -> track a textured video) — the
+    # synthetic stand-in for YCB textured.obj
+    "textured_box": lambda: M.make_textured_box(),
 }
 
 # objects whose geometry leaves rotations unobservable: score them by

@@ -701,6 +701,67 @@ def make_plain_sphere(subdiv: int = 2, radius: float = 0.045,
     )
 
 
+def make_textured_box(size_xyz=(0.11, 0.08, 0.055),
+                      cell: int = 32) -> TriMesh:
+    """UV-textured box: :func:`make_box` geometry with each side mapped
+    onto its own cell of a 3x2 procedural texture atlas (checkerboards,
+    stripes and dots at different scales/hues — sub-face detail that
+    vertex colors cannot represent). The accuracy suite's textured
+    object: exercises the UV pipeline end-to-end (train on textured
+    renders -> track a textured video), the synthetic stand-in for a
+    YCB ``textured.obj`` (the reference renders those through pyrender
+    materials, reference offscreen_renderer.py:53-69).
+
+    Vertex colors are also baked from the texture so decimation and the
+    face-sharded SP path keep a (lossy) appearance fallback."""
+    # raw (pre-Morton-reorder) geometry: face 2*i / 2*i+1 IS side i, so
+    # UVs can be assigned per side before build_trimesh reorders both
+    # tables together
+    verts, faces, _, normals = make_box(size_xyz, distinct_faces=False,
+                                        _raw=True)
+    # --- 3x2 atlas: per-cell high-frequency patterns ------------------
+    th, tw = 2 * cell, 3 * cell
+    tex = np.zeros((th, tw, 3), np.float32)
+    yy, xx = np.mgrid[0:cell, 0:cell]
+    checker = ((yy // 4 + xx // 4) % 2).astype(np.float32)[..., None]
+    fine = ((yy // 2 + xx // 2) % 2).astype(np.float32)[..., None]
+    diag = (((yy + xx) // 5) % 2).astype(np.float32)[..., None]
+    horiz = ((yy // 5) % 2).astype(np.float32)[..., None]
+    dots = ((np.hypot(yy % 8 - 3.5, xx % 8 - 3.5) < 2.5)
+            .astype(np.float32)[..., None])
+    cells = [
+        checker * [0.9, 0.15, 0.1] + (1 - checker) * [0.95, 0.9, 0.85],
+        diag * [0.1, 0.6, 0.2] + (1 - diag) * [0.1, 0.15, 0.1],
+        fine * [0.15, 0.25, 0.9] + (1 - fine) * [0.9, 0.85, 0.2],
+        dots * [0.8, 0.15, 0.7] + (1 - dots) * [0.95, 0.95, 0.9],
+        horiz * [0.95, 0.55, 0.1] + (1 - horiz) * [0.1, 0.1, 0.1],
+        checker * [0.1, 0.8, 0.8] + (1 - checker) * [0.15, 0.2, 0.25],
+    ]
+    for i, c in enumerate(cells):
+        r, q = divmod(i, 3)
+        tex[r * cell:(r + 1) * cell, q * cell:(q + 1) * cell] = c
+    # --- per-corner UVs: face i -> atlas cell i (inset against bleed) --
+    # make_box emits 2 triangles per side as (0,1,2) and (0,2,3) of each
+    # quad; map quad corners to the cell rectangle in OBJ convention
+    # (v origin bottom-left — _sample_texture flips, so cells land
+    # exactly regardless of orientation).
+    m = 0.04  # margin in cell-normalized units
+    F = 12  # real faces (before padding — build_trimesh pads after)
+    face_uvs = np.zeros((F, 3, 2), np.float32)
+    for side in range(6):
+        r, q = divmod(side, 3)
+        u0, u1 = (q + m) / 3.0, (q + 1 - m) / 3.0
+        # OBJ v: bottom-left origin; atlas row 0 is the TOP of the image
+        v1, v0 = 1.0 - (r + m) / 2.0, 1.0 - (r + 1 - m) / 2.0
+        quad = np.array([[u0, v0], [u1, v0], [u1, v1], [u0, v1]],
+                        np.float32)
+        face_uvs[2 * side] = quad[[0, 1, 2]]
+        face_uvs[2 * side + 1] = quad[[0, 2, 3]]
+    colors = bake_texture_to_colors(verts, faces, face_uvs, tex)
+    return build_trimesh(verts, faces, colors, normals,
+                         face_uvs=face_uvs, texture=tex)
+
+
 def decimate(verts: np.ndarray, faces: np.ndarray, colors: np.ndarray | None,
              target_faces: int, iters: int = 8):
     """Vertex-clustering decimation to approximately ``target_faces``.
