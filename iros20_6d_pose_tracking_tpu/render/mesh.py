@@ -273,6 +273,60 @@ def load_obj(path: str):
     return result
 
 
+def save_obj(tm: TriMesh, path: str) -> None:
+    """Write a TriMesh as OBJ — the inverse of :func:`load_obj`.
+
+    Vertex colors ride the common ``v x y z r g b`` extension; textured
+    meshes additionally emit one ``vt`` per face corner (OBJ indexes UVs
+    independently of positions, so per-corner tables map 1:1), an
+    ``.mtl`` with ``map_Kd``, and the texture as a PNG next to the OBJ.
+    Gives procedural assets a disk form both this framework's CLIs
+    (``--model_path``) and the reference's trimesh-based tools can read.
+    Round-trip render equality is pinned in tests/test_texture.py."""
+    import os
+
+    base = os.path.splitext(path)[0]
+    F = tm.num_faces
+    textured = tm.texture is not None and tm.face_uvs is not None
+    lines = []
+    if textured:
+        mtl_path = base + ".mtl"
+        tex_name = os.path.basename(base) + "_kd.png"
+        lines.append(f"mtllib {os.path.basename(mtl_path)}")
+    for v, c in zip(tm.verts, tm.colors):
+        lines.append("v %.8f %.8f %.8f %.5f %.5f %.5f"
+                     % (v[0], v[1], v[2], c[0], c[1], c[2]))
+    for n in tm.normals:
+        lines.append("vn %.6f %.6f %.6f" % (n[0], n[1], n[2]))
+    if textured:
+        for fu in np.asarray(tm.face_uvs[:F], np.float32).reshape(-1, 2):
+            lines.append("vt %.6f %.6f" % (fu[0], fu[1]))
+        lines.append("usemtl material_0")
+        for i, fc in enumerate(tm.faces[:F]):
+            t = 3 * i
+            lines.append(
+                "f %d/%d/%d %d/%d/%d %d/%d/%d"
+                % (fc[0] + 1, t + 1, fc[0] + 1, fc[1] + 1, t + 2,
+                   fc[1] + 1, fc[2] + 1, t + 3, fc[2] + 1))
+    else:
+        for fc in tm.faces[:F]:
+            lines.append("f %d//%d %d//%d %d//%d"
+                         % (fc[0] + 1, fc[0] + 1, fc[1] + 1, fc[1] + 1,
+                            fc[2] + 1, fc[2] + 1))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    if textured:
+        from PIL import Image
+
+        Image.fromarray(
+            np.clip(np.asarray(tm.texture) * 255.0 + 0.5, 0,
+                    255).astype(np.uint8)
+        ).save(os.path.join(os.path.dirname(path) or ".", tex_name))
+        with open(mtl_path, "w") as f:
+            f.write("newmtl material_0\nKd 1.0 1.0 1.0\n"
+                    f"map_Kd {tex_name}\n")
+
+
 # ---------------------------------------------------------------------------
 # Geometry utilities
 # ---------------------------------------------------------------------------

@@ -223,3 +223,36 @@ def test_textured_box_in_suite_registry():
 
     assert "textured_box" in SB.OBJECTS
     assert "textured_box" not in SB.SYMMETRIC_OBJECTS
+
+
+def test_save_obj_roundtrip_render(tmp_path):
+    """save_obj -> load_mesh round trip renders identically (up to the
+    PNG's uint8 texture quantization) for a textured mesh, and exactly
+    matches geometry for an untextured one — the disk form a predict-CLI
+    user hands to --model_path."""
+    import jax.numpy as jnp
+
+    tm = M.make_textured_box()
+    p = str(tmp_path / "tex_box.obj")
+    M.save_obj(tm, p)
+    tm2 = M.load_mesh(p)
+    assert tm2.texture is not None and tm2.face_uvs is not None
+    pose = _pose(z=0.45, rot_axis_angle=(0.5, 0.6, 0.1))
+    win = rz.full_frame_window(*RES)
+    r1, d1 = rz.render(rz.upload(tm), jnp.asarray(pose), jnp.asarray(K),
+                       win, out_hw=RES)
+    r2, d2 = rz.render(rz.upload(tm2), jnp.asarray(pose), jnp.asarray(K),
+                       win, out_hw=RES)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
+    # rgb is 0..255; the PNG round trip quantizes texels to uint8, so
+    # bilinear-sampled pixels may move by up to ~1 gray level
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1.0)
+
+    cube = M.make_cube(0.08)
+    p2 = str(tmp_path / "cube.obj")
+    M.save_obj(cube, p2)
+    c2 = M.load_mesh(p2)
+    np.testing.assert_allclose(cube.verts, c2.verts, atol=1e-6)
+    np.testing.assert_array_equal(cube.faces[: cube.num_faces],
+                                  c2.faces[: c2.num_faces])
+    np.testing.assert_allclose(cube.colors, c2.colors, atol=1e-4)
