@@ -35,11 +35,14 @@ def main():
                              "(data/dataset.py::DRComposite), the "
                              "robustness recipe the reference gets from "
                              "Blender DR scenes")
+    parser.add_argument("--object", default="cube",
+                        help="any eval/synthetic_benchmark.py OBJECTS "
+                             "name (cube, box, lshape, icosahedron, "
+                             "cylinder, sphere, plate, textured_box)")
     args = parser.parse_args()
 
     from iros20_6d_pose_tracking_tpu.data.dataset import DRComposite
     from iros20_6d_pose_tracking_tpu.eval import synthetic_benchmark as SB
-    from iros20_6d_pose_tracking_tpu.render import mesh as M
 
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -48,10 +51,12 @@ def main():
     batch = args.batch if args.batch is not None else (
         200 if args.hard else 32)
 
-    # A face-colored cube: rotation is observable from both RGB and depth
-    # (a sphere's rotation is depth-invisible and drifts by construction).
+    # Default: a face-colored cube — rotation is observable from both RGB
+    # and depth (a sphere's rotation is depth-invisible and drifts by
+    # construction). Any suite object works, incl. the UV-textured box.
     obj = SB.train_object(
-        M.make_cube(0.08), name="cube", steps=steps, batch=batch,
+        SB.OBJECTS[args.object](), name=args.object, steps=steps,
+        batch=batch,
         dr=DRComposite() if args.hard else None,
         aug=SB.hard_aug() if args.hard else None,
     )
