@@ -610,6 +610,25 @@ def main():
     except Exception as e:
         log(f"decimated bench failed (non-fatal): {e}")
 
+    # UV-textured object row: per-pixel bilinear texture sampling in
+    # pass 2 (the YCB textured.obj path) on the suite's textured box.
+    hz_tex = 0.0
+    try:
+        from iros20_6d_pose_tracking_tpu.render import mesh as M
+        from iros20_6d_pose_tracking_tpu.render import rasterizer as rz
+
+        tm_t = M.make_textured_box()
+        b_t = types.SimpleNamespace(**vars(b))
+        b_t.mesh = rz.upload(tm_t)
+        b_t.cfg = trk.TrackerConfig(
+            resolution=b.cfg.resolution,
+            object_width_mm=float(tm_t.diameter * 1000 * 1.1),
+            render_impl="pallas", cull_backfaces=True,
+        )
+        hz_tex = bench_scan(b_t, f"f32/tex/{tm_t.num_faces}f")
+    except Exception as e:
+        log(f"textured bench failed (non-fatal): {e}")
+
     host_hz = bench_host_loop(b)
     try:
         host_hz_moving = bench_host_loop_moving(b)
@@ -631,6 +650,7 @@ def main():
         "vs_baseline": round(hz / BASELINE_HZ, 3),
         "tracking_hz_bf16": round(hz_bf16, 2),
         "tracking_hz_decimated_2k": round(hz_decim, 2),
+        "tracking_hz_textured": round(hz_tex, 2),
         "tracking_hz_host_loop": round(host_hz, 2),
         "tracking_hz_host_loop_moving": round(host_hz_moving, 2),
         "host_loop_vs_baseline": round(host_hz / BASELINE_HZ, 3),
