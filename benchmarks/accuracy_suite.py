@@ -33,6 +33,11 @@ def main():
                    help="train all objects simultaneously as a vmapped "
                         "object ensemble (2-4x faster suite wall time, "
                         "same recipe per object)")
+    p.add_argument("--ensemble_ckpt_dir", default=None,
+                   help="with --ensemble: checkpoint the full ensemble "
+                        "train state here every 1000 steps so an "
+                        "interrupted multi-hour run resumes instead of "
+                        "restarting (multi-GB for big ensembles)")
     p.add_argument("--domain_shift", action="store_true",
                    help="also evaluate on domain-SHIFTED videos: "
                         "different lighting than the tracker's render, "
@@ -61,7 +66,8 @@ def main():
         tuple(args.objects.split(",")),
         steps=args.steps, frames=args.frames, batch=args.batch,
         res=args.res, hard=not args.clean, on_result=checkpoint_results,
-        ensemble=args.ensemble, domain_shift=args.domain_shift,
+        ensemble=args.ensemble, ensemble_ckpt_dir=args.ensemble_ckpt_dir,
+        domain_shift=args.domain_shift,
         long_horizon_frames=args.long_horizon,
     )
     # mean AUCs over ASYMMETRIC objects (ADD well-posed); symmetric rows

@@ -178,6 +178,8 @@ def train_objects_ensemble(
     aug: A.AugmentConfig | None = None,
     impl: str | None = None,
     log=_print_flush,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 1000,
 ) -> list[BenchObject]:
     """Train ALL objects simultaneously as a vmapped ensemble — one
     program per step renders every object's DR pairs and applies every
@@ -188,7 +190,16 @@ def train_objects_ensemble(
 
     Per-object normalization statistics, widths, and meshes; everything
     else (recipe, seeds) matches :func:`train_object` semantics. Returns
-    BenchObjects compatible with evaluate_tracking."""
+    BenchObjects compatible with evaluate_tracking.
+
+    ``ckpt_dir``: periodic full-state checkpointing every ``ckpt_every``
+    steps (params, batch_stats, Adam state, per-object stats). A multi-
+    hour ensemble run interrupted at step k resumes from the last
+    multiple of ``ckpt_every`` instead of restarting — call again with
+    the same names/steps/ckpt_dir. (RNG streams are keyed by the
+    absolute step index, so a resumed run consumes the same batch
+    sequence it would have seen uninterrupted; loss-history entries
+    before the resume point are not replayed.)"""
     from ..parallel import spmd
 
     impl = impl or default_impl()
@@ -213,38 +224,80 @@ def train_objects_ensemble(
         return ensemble_synth_batch(
             ens_mesh, Kj, keys, widths, n, res, 0.02, 15.0, xyz_range, dr)
 
-    # per-object mean/std: the reference's "std of batch means" statistic
-    # (train.py:106-125), computed per ensemble slice
-    batch_means = []
-    for i in range(4):
-        raw = sample(jax.random.PRNGKey(900 + i), batch)
-        ms = []
-        for o in range(O):
-            one = jax.tree.map(lambda x: x[o], raw)
-            bufA, bufB, _, _ = tr.preprocess_batch(
-                jax.random.fold_in(jax.random.PRNGKey(i), o), one,
-                jnp.zeros(8), jnp.ones(8), cfg, train=True)
-            ms.append(np.asarray(
-                jnp.concatenate([bufA, bufB], -1).mean(axis=(0, 1, 2))))
-        batch_means.append(np.stack(ms))
-    arr = np.stack(batch_means)                      # (4, O, 8)
-    mean = jnp.asarray(arr.mean(axis=0), jnp.float32)  # (O, 8)
-    std = jnp.asarray(arr.std(axis=0), jnp.float32)
+    ckpt_path = None
+    restored = None
+    if ckpt_dir:
+        import os as _os
+
+        from ..train import checkpoint as ck
+
+        ckpt_path = _os.path.join(ckpt_dir, "ensemble_last.msgpack")
+        if _os.path.exists(ckpt_path):
+            meta = ck.load_metadata(ckpt_path)
+            if (meta.get("names") == list(names)
+                    and int(meta.get("total_steps", -1)) == steps):
+                restored = ck.load_checkpoint(ckpt_path)
+            else:
+                log(f"[ensemble x{O}] ignoring {ckpt_path}: different "
+                    "names/steps")
+
+    if restored is not None:
+        mean = jnp.asarray(restored["mean"], jnp.float32)
+        std = jnp.asarray(restored["std"], jnp.float32)
+    else:
+        # per-object mean/std: the reference's "std of batch means"
+        # statistic (train.py:106-125), computed per ensemble slice
+        batch_means = []
+        for i in range(4):
+            raw = sample(jax.random.PRNGKey(900 + i), batch)
+            ms = []
+            for o in range(O):
+                one = jax.tree.map(lambda x: x[o], raw)
+                bufA, bufB, _, _ = tr.preprocess_batch(
+                    jax.random.fold_in(jax.random.PRNGKey(i), o), one,
+                    jnp.zeros(8), jnp.ones(8), cfg, train=True)
+                ms.append(np.asarray(
+                    jnp.concatenate([bufA, bufB], -1).mean(axis=(0, 1, 2))))
+            batch_means.append(np.stack(ms))
+        arr = np.stack(batch_means)                      # (4, O, 8)
+        mean = jnp.asarray(arr.mean(axis=0), jnp.float32)  # (O, 8)
+        std = jnp.asarray(arr.std(axis=0), jnp.float32)
 
     model = tracknet.Se3TrackNet(image_size=res)
     tx, _ = tr.make_optimizer(cfg, steps_per_epoch=10_000)
     states = [tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(i))
               for i in range(O)]
     ens_state = spmd.stack_states(states)
+    start_step = 0
+    if restored is not None:
+        from flax import serialization as _ser
+
+        ens_state = _ser.from_state_dict(ens_state, restored["state"])
+        start_step = int(ck.load_metadata(ckpt_path)["step"]) + 1
+        log(f"[ensemble x{O}] resumed from {ckpt_path} at step "
+            f"{start_step}")
     mesh1 = spmd.make_mesh(1, obj=1)
     step = spmd.ensemble_train_step(model, tx, cfg, mesh1,
                                     per_object_stats=True)
+
+    def save_ckpt(i):
+        if ckpt_path is None:
+            return
+        from ..train import checkpoint as ck
+
+        ck.save_checkpoint(
+            ckpt_path,
+            {"state": ens_state, "mean": mean, "std": std},
+            metadata={"names": list(names), "step": int(i),
+                      "total_steps": int(steps), "batch": int(batch),
+                      "res": int(res)},
+        )
 
     key = jax.random.PRNGKey(7)
     losses = {n: [] for n in names}
     t0 = time.time()
     with mesh1:
-        for i in range(steps):
+        for i in range(start_step, steps):
             raw = sample(jax.random.fold_in(key, i), batch)
             step_keys = jax.vmap(
                 lambda o: jax.random.fold_in(
@@ -258,6 +311,8 @@ def train_objects_ensemble(
                 log(f"[ensemble x{O}] step {i}: " + " ".join(
                     f"{n}={lv[o]:.5f}" for o, n in enumerate(names))
                     + f" ({time.time() - t0:.0f}s)")
+            if ckpt_path and i and (i % ckpt_every == 0 or i == steps - 1):
+                save_ckpt(i)
     train_secs = time.time() - t0
 
     objs = []
@@ -455,6 +510,7 @@ def run_suite(
     log=_print_flush,
     on_result=None,
     ensemble: bool = False,
+    ensemble_ckpt_dir: str | None = None,
     domain_shift: bool = False,
     shift_sensor=None,
     long_horizon_frames: int = 0,
@@ -489,7 +545,7 @@ def run_suite(
     if ensemble:
         objs = train_objects_ensemble(
             object_names, steps=steps, batch=batch, res=res, dr=dr,
-            aug=aug, impl=impl, log=log)
+            aug=aug, impl=impl, log=log, ckpt_dir=ensemble_ckpt_dir)
     results = []
     for idx, name in enumerate(object_names):
         if objs is not None:

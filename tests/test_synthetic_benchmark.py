@@ -118,3 +118,48 @@ def test_tiny_ensemble_training_end_to_end():
                                   hw=(48, 64), impl="xla")
     r = SB.evaluate_tracking(objs[0], gt, fr, fd, K=K_SMALL)
     assert np.isfinite(r["add_auc"])
+
+
+@pytest.mark.slow
+def test_ensemble_checkpoint_resume(tmp_path):
+    """Interrupting an ensemble run and resuming from its checkpoint
+    reproduces the uninterrupted run's weights: RNG streams are keyed by
+    the absolute step index, so steps k..N consume identical batches."""
+    kw = dict(K=K_SMALL, batch=4, res=48, impl="xla",
+              log=lambda *a: None)
+    full = SB.train_objects_ensemble(("cube", "box"), steps=4, **kw)
+
+    ck = str(tmp_path / "ck")
+    # phase 1: run only steps 0..1 (ckpt_every=2 -> saves at step 2? no:
+    # saves at i%2==0 and i>0 -> step 2). Interrupt by running steps=3.
+    SB.train_objects_ensemble(("cube", "box"), steps=4, ckpt_dir=ck,
+                              ckpt_every=2, **kw)
+    # the completed run saved its last step (3); wipe nothing — resume
+    # should be a no-op returning identical weights via step 3+1 == steps
+    resumed = SB.train_objects_ensemble(("cube", "box"), steps=4,
+                                        ckpt_dir=ck, ckpt_every=2, **kw)
+    p_full = jax.tree_util.tree_leaves(full[0].variables["params"])[0]
+    p_res = jax.tree_util.tree_leaves(resumed[0].variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_res),
+                               atol=1e-6)
+
+    # true interrupt: keep only a mid-run checkpoint (step 2), resume
+    import json, os
+    meta_p = os.path.join(ck, "ensemble_last.msgpack.json")
+    meta = json.load(open(meta_p))
+    assert meta["step"] == 3
+    # rewrite metadata to pretend the run died right after step 2's save
+    # is not possible without the step-2 state; instead rerun phase 1
+    # with steps=3 into a fresh dir (saves at i==2 == steps-1)
+    ck2 = str(tmp_path / "ck2")
+    SB.train_objects_ensemble(("cube", "box"), steps=3, ckpt_dir=ck2,
+                              ckpt_every=100, **kw)
+    meta_p2 = os.path.join(ck2, "ensemble_last.msgpack.json")
+    meta2 = json.load(open(meta_p2))
+    meta2["total_steps"] = 4  # the interrupted run targeted 4 steps
+    json.dump(meta2, open(meta_p2, "w"))
+    resumed2 = SB.train_objects_ensemble(("cube", "box"), steps=4,
+                                         ckpt_dir=ck2, **kw)
+    p_res2 = jax.tree_util.tree_leaves(resumed2[0].variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_res2),
+                               atol=1e-6)
