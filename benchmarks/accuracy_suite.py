@@ -30,9 +30,12 @@ def main():
     p.add_argument("--clean", action="store_true",
                    help="clean test videos (no background/occluder)")
     p.add_argument("--ensemble", action="store_true",
-                   help="train all objects simultaneously as a vmapped "
-                        "object ensemble (2-4x faster suite wall time, "
-                        "same recipe per object)")
+                   help="train all objects simultaneously in ONE program "
+                        "per step (same recipe per object; one compile + "
+                        "one stats pass + a single resumable run — on one "
+                        "chip per-object throughput matches sequential "
+                        "via lax.map; true object-parallelism needs a "
+                        "multi-chip ('obj','dp') mesh)")
     p.add_argument("--ensemble_ckpt_dir", default=None,
                    help="with --ensemble: checkpoint the full ensemble "
                         "train state here every 1000 steps so an "

@@ -181,12 +181,14 @@ def train_objects_ensemble(
     ckpt_dir: str | None = None,
     ckpt_every: int = 1000,
 ) -> list[BenchObject]:
-    """Train ALL objects simultaneously as a vmapped ensemble — one
+    """Train ALL objects simultaneously as an object ensemble — one
     program per step renders every object's DR pairs and applies every
     object's Adam update (parallel/spmd.ensemble_train_step +
-    data/dataset.ensemble_synth_batch). On one chip the object axis
-    batches the CNN (4x the MXU feed of sequential runs); on a multi-chip
-    ('obj','dp') mesh the same program shards objects across devices.
+    data/dataset.ensemble_synth_batch). On one chip the objects run
+    serially inside the program (lax.map — per-object throughput parity
+    with sequential runs; the wins are ONE compile, ONE stats pass, and
+    a single resumable run); on a multi-chip ('obj','dp') mesh the vmap
+    path shards objects across devices for true object-parallelism.
 
     Per-object normalization statistics, widths, and meshes; everything
     else (recipe, seeds) matches :func:`train_object` semantics. Returns
@@ -523,9 +525,11 @@ def run_suite(
     5k steps = 1M DR pairs per object — the scale at which hard-video
     tracking converges (batch-32 runs drift).
 
-    ``ensemble``: train all objects SIMULTANEOUSLY as a vmapped object
-    ensemble (one program per step; 4x MXU feed and a fraction of the
-    sequential wall time — :func:`train_objects_ensemble`).
+    ``ensemble``: train all objects SIMULTANEOUSLY as an object ensemble
+    (one program per step, one compile, one stats pass, resumable via
+    ``ensemble_ckpt_dir`` — :func:`train_objects_ensemble`; single-chip
+    throughput matches sequential, multi-chip meshes get true
+    object-parallelism).
     ``domain_shift``: additionally evaluate each object on a
     domain-SHIFTED video (different lighting constants than the
     tracker's A branch, photometric drift, sensor-model depth, motion
