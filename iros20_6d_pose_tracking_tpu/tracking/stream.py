@@ -19,14 +19,25 @@ H2D transfer, compute, and D2H latency.
      around the object's last known position is uploaded, not the full
      frame. The window center comes from a *lagged* pose snapshot fetched
      on a background thread so the push path never blocks on the device;
-     the margin absorbs the inter-frame motion the tracker is trained for
-     (<=0.02 m / 15 deg per frame, reference dataset_info.yml:12-13)
-     times the snapshot staleness (refetch_every + fetch round-trip).
-     Window sizes are quantized to multiples of 64 px so only a handful
-     of XLA programs ever compile; each program closes over the weights,
-     so a call passes just (pose, packed frame, offset). RGB and the two
-     depth bytes are packed into ONE (side, side, 5) uint8 buffer so each
-     frame costs a single H2D transfer plus one dispatch.
+     a velocity-adaptive pad absorbs the residual error of the
+     constant-velocity center prediction over the snapshot staleness
+     (refetch_every + fetch round-trip). The pad — not a fixed 1.45x
+     multiplier — is what sizes the upload: on the measured axon tunnel
+     the H2D transfer is the live-loop bound (~50-110 MB/s; 320px packed
+     window = 8.3 ms vs 256px = 4.6 ms), so every pad pixel costs Hz.
+     Window sides are quantized to multiples of 32 px with hysteresis so
+     only a handful of XLA programs ever compile; each program closes
+     over the weights, so a call passes just (pose, packed frame,
+     offset). RGB and the two depth bytes are packed into ONE
+     (side, side, 5) uint8 buffer — two strided copies straight from the
+     frame slices, no intermediate contiguous copies — so each frame
+     costs a single H2D transfer plus one dispatch.
+  5. **Containment monitoring** — windowing is only exact while the true
+     ROI stays inside the uploaded window. Every background pose fetch
+     re-checks the ROI of the *fetched* (true) pose against the window
+     rect that was actually used at that frame; a violation increments
+     ``containment_violations``, permanently widens the pad, and forces
+     an immediate recenter. Consumers read ``stats()`` for health.
   4. **Exactness** — the ROI is still computed from the TRUE device-side
      pose in full-image coordinates (track_step's ``frame_offset_vu``);
      the windowed path is bit-identical to full-frame tracking whenever
@@ -46,10 +57,21 @@ import numpy as np
 from . import tracker as trk
 
 
+def pack_window_into(buf: np.ndarray, rgb_u8: np.ndarray,
+                     depth_u16: np.ndarray) -> np.ndarray:
+    """Pack (S,S,3) uint8 + (S,S) uint16 views into a preallocated
+    contiguous (S,S,5) uint8 buffer: two strided copies straight from the
+    frame slices, no intermediate ``ascontiguousarray``/``concatenate``
+    copies (halves the per-push host memcpy on a 1-core host)."""
+    buf[..., :3] = rgb_u8
+    buf[..., 3:5].view("<u2")[..., 0] = depth_u16
+    return buf
+
+
 def pack_window(rgb_u8: np.ndarray, depth_u16: np.ndarray) -> np.ndarray:
     """(S,S,3) uint8 + (S,S) uint16 -> one contiguous (S,S,5) uint8."""
-    d8 = depth_u16[..., None].astype("<u2", copy=False).view(np.uint8)
-    return np.concatenate([rgb_u8, d8], axis=-1)
+    s = rgb_u8.shape[:2]
+    return pack_window_into(np.empty(s + (5,), np.uint8), rgb_u8, depth_u16)
 
 
 class StreamTracker:
@@ -68,12 +90,22 @@ class StreamTracker:
     consumers should let the pipeline run free and fetch at the end.
     """
 
-    def __init__(self, tracker, window: bool = True, margin: float = 1.45,
+    def __init__(self, tracker, window: bool = True,
+                 margin: float | None = None,
                  refetch_every: int = 8, pose_lag: int | None = None,
-                 keep_history: bool = True, samples: int = 1):
+                 keep_history: bool = True, samples: int = 1,
+                 base_pad_px: float = 24.0):
         self.t = tracker
         self.window = window
+        # margin=None (default): velocity-adaptive pad sizing (see module
+        # docstring). A float pins the legacy multiplicative sizing
+        # (window side = ROI side * margin, 64px quanta).
         self.margin = margin
+        self.base_pad_px = float(base_pad_px)
+        self._pad_boost = 0.0        # widened on containment violations
+        self._rect_hist = {}         # frame_idx -> (top, left, side) used
+        self.containment_violations = 0
+        self.refetches = 0
         # samples > 1: every push refines N pose hypotheses in one
         # batched program and carries the depth-agreement winner
         # (tracking/hypotheses.track_step_multi); per-frame health scores
@@ -125,16 +157,37 @@ class StreamTracker:
         side = self.t.cfg.object_width_mm * max(K[0, 0], K[1, 1]) / z
         return (v, u), side
 
+    def _vel_px(self) -> float:
+        """Window-center speed (px/frame) from the last two snapshots."""
+        if len(self._center_hist) == 2:
+            (i0, c0), (i1, c1) = self._center_hist
+            if i1 > i0:
+                return float(np.linalg.norm(c1 - c0) / (i1 - i0))
+        return 0.0
+
     def _bucket(self, side_px: float) -> int:
         """Quantized window size with hysteresis: grow as soon as the ROI
         needs it, shrink only when two quanta smaller — every size change
         is a fresh XLA program, so size flapping would stall the stream
-        on recompiles."""
-        want = int(np.ceil(side_px * self.margin / 64.0)) * 64
+        on recompiles.
+
+        Sizing: the constant-velocity center prediction cancels the
+        first-order staleness error, so the pad only has to absorb the
+        base uncertainty (rounding + prediction residual) plus a
+        velocity-proportional term for the unpredicted half of the
+        staleness horizon; containment violations observed by the fetch
+        thread widen it permanently (_pad_boost)."""
+        if self.margin is not None:
+            want = int(np.ceil(side_px * self.margin / 64.0)) * 64
+        else:
+            horizon = self.refetch_every + 6  # +fetch round-trip frames
+            pad = (self.base_pad_px + self._pad_boost
+                   + 0.5 * self._vel_px() * horizon)
+            want = int(np.ceil((side_px + 2.0 * pad) / 32.0)) * 32
         H, W = self._hw
         want = int(min(max(want, 128), min(H, W)))
         cur = self._cur_bucket
-        if cur is None or want > cur or want <= cur - 128:
+        if cur is None or want > cur or want <= cur - 64:
             self._cur_bucket = want
         return self._cur_bucket
 
@@ -151,6 +204,7 @@ class StreamTracker:
         self._center_vu, side = self._host_bbox(np.asarray(init_pose))
         self._side_px = side
         self._center_hist.clear()
+        self._rect_hist = {}
         return self
 
     def _get_step(self, side_key):
@@ -235,16 +289,54 @@ class StreamTracker:
                 self._fetcher = cf.ThreadPoolExecutor(
                     1, thread_name_prefix="stream-pose-fetch")
             self._fetch_busy = True
+            self.refetches += 1
             dev, idx, gen = self._pose_dev, self._frame_idx, self._gen
+            # the rect a step at `idx` will consume is the one push() is
+            # about to record; idx-1's rect is the newest already recorded
+            rect = self._rect_hist.get(idx - 1)
 
             def work():
                 try:
-                    self._pending_center = (gen, idx, self._host_bbox(
-                        np.asarray(dev)))
+                    vu_side = self._host_bbox(np.asarray(dev))
+                    if rect is not None and self._roi_escaped(
+                            vu_side[0], vu_side[1], rect):
+                        # the true ROI left the uploaded window: frames
+                        # since `rect` may have tracked clamped input.
+                        # Count it, widen the pad for every future
+                        # window, and let the fresh center recenter us.
+                        self.containment_violations += 1
+                        self._pad_boost += 16.0
+                    self._pending_center = (gen, idx, vu_side)
                 finally:
                     self._fetch_busy = False
 
             self._fetcher.submit(work)
+
+    def _roi_escaped(self, vu, side: float, rect) -> bool:
+        """True if the (image-clipped) ROI square of a true pose sticks
+        out of the window rect actually uploaded. Pixels outside the
+        image are zero in BOTH the full-frame and windowed paths
+        (ops/roi.crop_bbox zero-masks them), so only the in-image part
+        of the ROI must be covered. 1px tolerance for rounding."""
+        H, W = self._hw
+        top, left, wside = rect
+        v0 = max(vu[0] - side / 2, 0.0)
+        v1 = min(vu[0] + side / 2, float(H))
+        u0 = max(vu[1] - side / 2, 0.0)
+        u1 = min(vu[1] + side / 2, float(W))
+        tol = 1.0
+        return (v0 < top - tol or u0 < left - tol
+                or v1 > top + wside + tol or u1 > left + wside + tol)
+
+    def stats(self) -> dict:
+        """Live-loop health/telemetry counters (cumulative)."""
+        return {
+            "containment_violations": self.containment_violations,
+            "pad_boost_px": self._pad_boost,
+            "refetches": self.refetches,
+            "bucket": self._cur_bucket,
+            "compiled_programs": len(self._step_cache),
+        }
 
     def _predicted_center(self):
         """Constant-velocity extrapolation of the window center: fetched
@@ -291,10 +383,19 @@ class StreamTracker:
             cv, cu = self._predicted_center()
             top = int(np.clip(round(cv - side / 2), 0, max(H - side, 0)))
             left = int(np.clip(round(cu - side / 2), 0, max(W - side, 0)))
+            # fresh buffer per push: JAX may alias (CPU backend) or
+            # defer-transfer a numpy arg, so a reused staging buffer
+            # would corrupt the in-flight frame; the malloc is trivial
+            # next to the two strided copies.
             packed = pack_window(
-                np.ascontiguousarray(rgb_u8[top:top + side, left:left + side]),
-                np.ascontiguousarray(depth_u16[top:top + side, left:left + side]),
+                rgb_u8[top:top + side, left:left + side],
+                depth_u16[top:top + side, left:left + side],
             )
+            self._rect_hist[self._frame_idx] = (top, left, side)
+            if len(self._rect_hist) > 300:
+                cut = self._frame_idx - 256
+                self._rect_hist = {k: v for k, v in self._rect_hist.items()
+                                   if k >= cut}
             out = self._get_step(side)(
                 self._pose_dev, packed, self._offset_dev(top, left), *idx,
             )
@@ -321,6 +422,7 @@ class StreamTracker:
         self._gen += 1          # poison in-flight pre-reinit fetches
         self._pending_center = None
         self._center_hist.clear()
+        self._rect_hist = {}
 
     def current_pose(self) -> np.ndarray:
         """Latest estimate (blocks until its computation completes)."""

@@ -243,6 +243,77 @@ def test_stream_multi_hypothesis_scores():
     assert s.scores().shape == (0,)
 
 
+def test_adaptive_bucket_and_pack_buffer():
+    """Velocity-adaptive window sizing: static scenes get the small
+    32px-quantized bucket; center motion and containment violations widen
+    it; the staging pack buffer is reused per size."""
+    t = _tracker()
+    s = st.StreamTracker(t, window=True)
+    s.begin(np.eye(4, dtype=np.float32) @ np.diag([1, 1, 1, 1]).astype(np.float32),
+            image_hw=(H, W))
+    s._hw = (480, 640)
+    s._cur_bucket = None
+    side0 = s._bucket(196.0)           # static: pad = base_pad only
+    assert side0 % 32 == 0
+    assert side0 <= 288                # far below the legacy 320 bucket
+    # velocity widens the pad
+    s._center_hist.clear()
+    s._center_hist.append((0, np.array([100.0, 100.0])))
+    s._center_hist.append((8, np.array([100.0, 180.0])))  # 10 px/frame
+    s._cur_bucket = None
+    side_v = s._bucket(196.0)
+    assert side_v > side0
+    # a containment violation permanently widens every future window
+    s._center_hist.clear()
+    s._pad_boost = 48.0
+    s._cur_bucket = None
+    assert s._bucket(196.0) > side0
+    # legacy multiplicative sizing still available
+    s2 = st.StreamTracker(t, window=True, margin=1.45)
+    s2._hw = (480, 640)
+    assert s2._bucket(196.0) == 320
+
+
+def test_containment_violation_detected():
+    """_roi_escaped flags a true ROI outside the uploaded rect, and the
+    image-clipped part of the ROI does not false-positive at borders."""
+    t = _tracker()
+    s = st.StreamTracker(t, window=True)
+    s._hw = (480, 640)
+    rect = (100, 100, 256)             # top, left, side
+    assert not s._roi_escaped((228.0, 228.0), 200.0, rect)   # centered
+    assert s._roi_escaped((228.0, 330.0), 200.0, rect)       # off right
+    assert s._roi_escaped((90.0, 228.0), 200.0, rect)        # off top
+    # ROI hanging off the IMAGE is fine if its in-image part is covered
+    rect_edge = (0, 0, 256)
+    assert not s._roi_escaped((10.0, 10.0), 200.0, rect_edge)
+
+
+@pytest.mark.slow
+def test_stream_stats_and_violation_path():
+    """End-to-end: a deliberately absurd teleport of the device pose is
+    caught by the background containment check, counted, and widens the
+    pad."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, 0.5]
+    t = _tracker()
+    rgbs, depths = _video(t, pose, 1)
+    s = st.StreamTracker(t, window=True, refetch_every=1)
+    s.begin(pose, image_hw=(H, W))
+    s.push(rgbs[0], depths[0])
+    # teleport the tracked pose far from the window used at frame 0
+    tele = np.eye(4, dtype=np.float32)
+    tele[:3, 3] = [0.2, 0.15, 0.5]
+    s._pose_dev = jax.device_put(jnp.asarray(tele))
+    for _ in range(4):
+        s.push(rgbs[0], depths[0])
+    s._fetcher.shutdown(wait=True) if s._fetcher else None
+    stats = s.stats()
+    assert stats["refetches"] >= 1
+    assert stats["containment_violations"] >= 1
+    assert stats["pad_boost_px"] >= 16.0
+
+
 def test_track_video_multi_scan_runs():
     """Whole-video multi-hypothesis scan: finite poses + health scores."""
     from iros20_6d_pose_tracking_tpu.tracking import hypotheses as hy
