@@ -50,7 +50,19 @@ def main():
     p.add_argument("--long_horizon", type=int, default=0,
                    help="also run the closed-loop long-horizon protocol "
                         "(ReinitPolicy + noisy external re-init) over "
-                        "this many frames on the first object")
+                        "this many frames on EVERY object")
+    p.add_argument("--shift_sweep", default="",
+                   help="comma-separated severities (e.g. 0.5,1,2,4) for "
+                        "the AUC-vs-severity domain-shift sweep on the "
+                        "--sweep_objects (textured objects add a "
+                        "texture-hostile row)")
+    p.add_argument("--sweep_objects", default="cube,lshape,textured_box",
+                   help="objects the severity sweep runs on")
+    p.add_argument("--recovery", default="",
+                   help="comma-separated objects that also run the "
+                        "long-horizon protocol with a FORCED 15-frame "
+                        "full-occlusion burst: detection latency + "
+                        "post-recovery AUC (needs --long_horizon)")
     p.add_argument("--out", default="benchmarks/accuracy_suite_results.json")
     args = p.parse_args()
 
@@ -72,6 +84,10 @@ def main():
         ensemble=args.ensemble, ensemble_ckpt_dir=args.ensemble_ckpt_dir,
         domain_shift=args.domain_shift,
         long_horizon_frames=args.long_horizon,
+        shift_sweep=tuple(float(s) for s in args.shift_sweep.split(",")
+                          if s),
+        sweep_objects=tuple(args.sweep_objects.split(",")),
+        recovery_objects=tuple(s for s in args.recovery.split(",") if s),
     )
     # mean AUCs over ASYMMETRIC objects (ADD well-posed); symmetric rows
     # are scored by ADD-S and reported separately
@@ -119,12 +135,31 @@ def main():
         print(line)
     print(f"| **mean (asym)** | **{payload['mean_add_auc']:.2f}** "
           f"| **{payload['mean_adi_auc']:.2f}** |" + " |" * (cols - 3))
-    lh = next((r.get("long_horizon") for r in results
-               if r.get("long_horizon")), None)
-    if lh:
-        print(f"\nlong-horizon: {lh['frames']} frames, ADD AUC "
-              f"{lh['add_auc']:.2f}, {lh['reinit_count']} reinits "
-              f"at {lh['reinit_frames']}")
+    if any(r.get("long_horizon") for r in results):
+        print("\nlong-horizon (per object):")
+        for r in results:
+            lh = r.get("long_horizon")
+            if lh:
+                print(f"  {r['name']}: {lh['frames']} frames, ADD AUC "
+                      f"{lh['add_auc']:.2f} ADD-S {lh['adi_auc']:.2f}, "
+                      f"{lh['reinit_count']} reinits at "
+                      f"{lh['reinit_frames']}")
+    for r in results:
+        rc = r.get("recovery")
+        if rc:
+            print(f"\nrecovery [{r['name']}]: occlusion burst @"
+                  f"{rc['fail_at']}+{rc['fail_len']} -> detected in "
+                  f"{rc['detection_latency']} frames, recovered at "
+                  f"{rc['recovered_at']}, post-recovery ADD AUC "
+                  f"{rc.get('post_recovery_add_auc', float('nan')):.2f} "
+                  f"(whole-run {rc['add_auc']:.2f}), reinits "
+                  f"{rc['reinit_frames']}")
+    for r in results:
+        sw = r.get("shift_sweep")
+        if sw:
+            pts = ", ".join(f"x{p['severity']}={p['add_auc']:.1f}"
+                            for p in sw)
+            print(f"shift sweep [{r['name']}] ADD AUC: {pts}")
     print(f"\nwrote {args.out} ({payload['suite_wall_secs']:.0f}s)")
 
 

@@ -74,10 +74,62 @@ class SensorModel:
     # initialization error (PoseCNN grade)
     init_trans_m: float = 0.015
     init_rot_deg: float = 8.0
+    # constant per-channel white-balance gain (texture-hostile shifts:
+    # a strong fixed color cast attacks the UV-texture appearance cue
+    # specifically — geometry/depth are untouched)
+    wb_const: tuple = (1.0, 1.0, 1.0)
 
     def lighting(self):
         return jnp.asarray(
             [self.ambient, self.diffuse, *self.light_cam], jnp.float32)
+
+    def scaled(self, s: float) -> "SensorModel":
+        """The same shift at severity ``s`` (x0 = matched domain, x1 =
+        this operating point, x2/x4 = progressively hostile). Every
+        deviation-from-nominal scales together: lighting constants move
+        s of the way from the rasterizer defaults (ambient 0.65 /
+        diffuse 0.4 / light (0,-.1,-.9), render/rasterizer.py) to this
+        model's values and beyond; additive amplitudes/noises scale
+        linearly; probabilities saturate at 1; gamma scales in log space
+        (gamma**s). Used by the severity-sweep evaluation to find where
+        tracking degradation begins (a single mild operating point is
+        not a robustness margin)."""
+        import dataclasses
+
+        def lerp(default, v):
+            return default + s * (v - default)
+
+        return dataclasses.replace(
+            self,
+            ambient=lerp(0.65, self.ambient),
+            diffuse=lerp(0.4, self.diffuse),
+            light_cam=tuple(
+                lerp(d, v) for d, v in zip((0.0, -0.1, -0.9),
+                                           self.light_cam)),
+            exposure_amp=s * self.exposure_amp,
+            wb_amp=s * self.wb_amp,
+            gamma=float(self.gamma ** s),
+            rgb_noise_std=s * self.rgb_noise_std,
+            motion_blur_px=s * self.motion_blur_px,
+            depth_quant_mm=max(s * self.depth_quant_mm, 1e-6),
+            edge_dropout_prob=min(s * self.edge_dropout_prob, 1.0),
+            depth_warp_amp=s * self.depth_warp_amp,
+            depth_noise_mm=s * self.depth_noise_mm,
+            dropout_prob=min(s * self.dropout_prob, 1.0),
+            init_trans_m=s * self.init_trans_m,
+            init_rot_deg=s * self.init_rot_deg,
+            wb_const=tuple(lerp(1.0, v) for v in self.wb_const),
+        )
+
+
+def texture_hostile(base: SensorModel = SensorModel()) -> SensorModel:
+    """A shift that attacks the appearance cue the UV-texture path relies
+    on: a strong warm color cast (fixed white-balance error) plus doubled
+    AWB hunting. Depth and geometry stay at the base operating point."""
+    import dataclasses
+
+    return dataclasses.replace(
+        base, wb_const=(1.25, 1.0, 0.72), wb_amp=2.0 * base.wb_amp)
 
 
 def _shift3(img, dy, dx):
@@ -114,7 +166,7 @@ def apply_sensor_model(key, rgb, depth_mm, vel_uv, frame_idx,
     # --- exposure / white balance drift + gamma + noise ---
     ph = frame_idx.astype(jnp.float32)
     exposure = 1.0 + sensor.exposure_amp * jnp.sin(2 * jnp.pi * ph / 97.0)
-    wb = 1.0 + sensor.wb_amp * jnp.sin(
+    wb = jnp.asarray(sensor.wb_const) + sensor.wb_amp * jnp.sin(
         2 * jnp.pi * ph / jnp.array([61.0, 83.0, 47.0])
         + jnp.array([0.0, 2.1, 4.2]))
     rgb = rgb * exposure * wb[None, None, :]
@@ -189,23 +241,48 @@ def noisy_init_pose(key, pose, sensor: SensorModel = SensorModel()):
 def long_horizon_eval(obj, gt, frames_rgb, frames_depth, K, *,
                       chunk: int = 50, threshold: float = 0.3,
                       patience: int = 3, seed: int = 33,
-                      reinit_sensor: SensorModel = SensorModel()) -> dict:
+                      reinit_sensor: SensorModel = SensorModel(),
+                      fail_at: int | None = None,
+                      fail_len: int = 15) -> dict:
     """Closed-loop long-horizon tracking: scan in fixed chunks with the
     per-frame depth-agreement health score; whenever ReinitPolicy fires,
     re-initialize from a noisy external pose (PoseCNN-grade gt
     perturbation) at that frame and continue. One compiled shape (chunks
     padded by repeating the last frame).
 
+    ``fail_at``: tracked-frame index of a FORCED tracking failure — a
+    ``fail_len``-frame full-occlusion burst (RGB and depth blacked out:
+    an occluder filling the view / sensor blackout). The depth-agreement
+    health collapses, ReinitPolicy fires, and recovery is quantified:
+    ``detection_latency`` (frames from failure onset to the policy
+    firing), ``recovered_at`` (first external re-detection — the
+    detector is blind during the burst too, so re-detection waits for
+    the first clear frame), and ``post_recovery_add_auc`` (AUC over the
+    frames from re-detection to the end). This is the automated analog
+    of the reference's manual --reinit_frames recovery
+    (reference predict.py:539-541).
+
     ``obj``: a synthetic_benchmark.BenchObject. Returns ADD/ADD-S AUC over
-    ALL frames (drift and recovery both count, reference
-    eval_ycb.py:45-64 protocol) plus reinit telemetry.
+    ALL frames (drift, the lost-during-occlusion hold, and recovery all
+    count, reference eval_ycb.py:45-64 protocol) plus reinit telemetry.
     """
     T = len(gt) - 1  # tracked frames (gt[0] is the init frame)
+    fail_end = -1
+    if fail_at is not None:
+        fail_end = min(fail_at + fail_len, T)
+        frames_rgb = jnp.asarray(frames_rgb)
+        frames_depth = jnp.asarray(frames_depth)
+        z_rgb = jnp.zeros_like(frames_rgb[1 + fail_at : 1 + fail_end])
+        z_dep = jnp.zeros_like(frames_depth[1 + fail_at : 1 + fail_end])
+        frames_rgb = frames_rgb.at[1 + fail_at : 1 + fail_end].set(z_rgb)
+        frames_depth = frames_depth.at[1 + fail_at : 1 + fail_end].set(
+            z_dep)
     Kj = jnp.asarray(K)
     key = jax.random.PRNGKey(seed)
     poses_out = np.zeros((T, 4, 4), np.float32)
     policy = hy.ReinitPolicy(threshold=threshold, patience=patience)
     reinits = []
+    fires = []
     cur_pose = noisy_init_pose(jax.random.fold_in(key, 10**6), gt[0],
                                reinit_sensor)
     start = 0  # index into tracked frames: frame i is gt[i+1]
@@ -232,8 +309,16 @@ def long_horizon_eval(obj, gt, frames_rgb, frames_depth, K, *,
             cur_pose = poses[stop - start - 1]
             start = stop
         else:
-            # external re-detection at the NEXT frame (noisy gt)
+            fires.append(start + trig)
             start = start + take
+            if start < fail_end:
+                # the external detector can't see a fully occluded
+                # object either: hold the last estimate through the
+                # burst (scored honestly) and re-detect at the first
+                # clear frame.
+                poses_out[start:fail_end] = np.asarray(poses)[take - 1]
+                start = fail_end
+            # external re-detection at the NEXT frame (noisy gt)
             if start < T:
                 cur_pose = noisy_init_pose(
                     jax.random.fold_in(key, start), gt[start],
@@ -245,7 +330,7 @@ def long_horizon_eval(obj, gt, frames_rgb, frames_depth, K, *,
     cloud = M.voxel_down_sample(obj.tm.verts, 0.005)
     all_poses = np.concatenate([np.asarray(gt[:1]), poses_out], 0)
     add, adi = ME.batch_errors(all_poses, np.asarray(gt), cloud)
-    return {
+    out = {
         "frames": int(T),
         "reinit_count": len(reinits),
         "reinit_frames": reinits,
@@ -253,3 +338,19 @@ def long_horizon_eval(obj, gt, frames_rgb, frames_depth, K, *,
         "adi_auc": float(ME.vocap(adi) * 100),
         "add_mean_mm": float(add.mean() * 1000),
     }
+    if fail_at is not None:
+        post_fire = [f for f in fires if f >= fail_at]
+        recov = [r for r in reinits if r >= fail_end]
+        out["fail_at"] = int(fail_at)
+        out["fail_len"] = int(fail_end - fail_at)
+        out["detection_latency"] = (
+            int(post_fire[0] - fail_at + 1) if post_fire else None)
+        out["recovered_at"] = int(recov[0]) if recov else None
+        if recov:
+            # errors are indexed over gt (frame 0 = init): tracked frame
+            # r is error row r+1
+            out["post_recovery_add_auc"] = float(
+                ME.vocap(add[recov[0] + 1 :]) * 100)
+            out["post_recovery_adi_auc"] = float(
+                ME.vocap(adi[recov[0] + 1 :]) * 100)
+    return out

@@ -460,19 +460,10 @@ def render_test_video(
             jnp.stack([f[1] for f in frames]))
 
 
-def evaluate_tracking(obj: BenchObject, gt: np.ndarray, frames_rgb,
-                      frames_depth, K=YCB_K, init_pose=None) -> dict:
-    """Track from ``init_pose`` (default gt[0] — pass a perturbed pose
-    for PoseCNN-grade noisy initialization) and score ADD / ADD-S per
-    frame + VOCap AUC, with the hold-init drift baseline for context."""
-    if init_pose is None:
-        init_pose = gt[0]
-    poses = trk.track_video(
-        obj.model, obj.tcfg, obj.variables, obj.mesh, jnp.asarray(K),
-        obj.mean, obj.std, jnp.asarray(init_pose, jnp.float32),
-        frames_rgb[1:], frames_depth[1:],
-    )
-    poses = np.concatenate([gt[:1], np.asarray(poses)], axis=0)
+def _score_poses(obj: BenchObject, gt: np.ndarray,
+                 poses: np.ndarray) -> dict:
+    """ADD / ADD-S per frame + VOCap AUC for a (T,4,4) estimate
+    trajectory, with the hold-init drift baseline for context."""
     cloud = M.voxel_down_sample(obj.tm.verts, 0.005)
     add, adi = ME.batch_errors(poses, gt, cloud)
     base_add, _ = ME.batch_errors(np.tile(gt[:1], (len(gt), 1, 1)), gt,
@@ -491,6 +482,112 @@ def evaluate_tracking(obj: BenchObject, gt: np.ndarray, frames_rgb,
         "baseline_add_mean_mm": float(base_add.mean() * 1000),
         "baseline_add_auc": float(ME.vocap(base_add) * 100),
     }
+
+
+def evaluate_tracking(obj: BenchObject, gt: np.ndarray, frames_rgb,
+                      frames_depth, K=YCB_K, init_pose=None) -> dict:
+    """Track from ``init_pose`` (default gt[0] — pass a perturbed pose
+    for PoseCNN-grade noisy initialization) and score ADD / ADD-S per
+    frame + VOCap AUC, with the hold-init drift baseline for context."""
+    if init_pose is None:
+        init_pose = gt[0]
+    poses = trk.track_video(
+        obj.model, obj.tcfg, obj.variables, obj.mesh, jnp.asarray(K),
+        obj.mean, obj.std, jnp.asarray(init_pose, jnp.float32),
+        frames_rgb[1:], frames_depth[1:],
+    )
+    poses = np.concatenate([gt[:1], np.asarray(poses)], axis=0)
+    return _score_poses(obj, gt, poses)
+
+
+def ensemble_evaluate_tracking(objs, gt: np.ndarray, stacked_rgb,
+                               stacked_depth, K=YCB_K,
+                               init_poses=None) -> list[dict]:
+    """Track EVERY object's test video in one SPMD program and score
+    each with the :func:`evaluate_tracking` protocol.
+
+    One compile covers the whole ensemble (the per-object meshes are
+    padded to a single face count by parallel/spmd.stack_meshes, so all
+    per-object shapes are identical) — on this environment's remote
+    compile service that replaces O track_video compiles (tens of
+    seconds each) with one. On a single chip the objects run serially
+    inside the program (lax.map — per-object throughput parity); a
+    multi-chip ('obj','dp') mesh runs them in parallel (VERDICT r3 #6:
+    SURVEY §2 "one object per core is the natural parallelism").
+
+    ``stacked_rgb``/``stacked_depth``: (O, T, H, W[,3]) arrays — pass
+    uint8/uint16 to quarter the HBM residency of a long suite video.
+    ``init_poses``: (O, 4, 4) (default: gt[0] for every object).
+    """
+    from ..parallel import spmd
+
+    O = len(objs)
+    ens_vars = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[o.variables for o in objs])
+    ens_meshes = spmd.stack_meshes([o.tm for o in objs])
+    mean = jnp.stack([o.mean for o in objs])
+    std = jnp.stack([o.std for o in objs])
+    widths = jnp.asarray([o.width_mm for o in objs], jnp.float32)
+    if init_poses is None:
+        init_poses = np.tile(gt[:1], (O, 1, 1))
+    mesh1 = spmd.make_mesh(1, obj=1)
+    run = spmd.multi_object_track_videos(objs[0].model, objs[0].tcfg,
+                                         mesh1, per_object_stats=True)
+    with mesh1:
+        poses = run(ens_vars, ens_meshes, jnp.asarray(K), mean, std,
+                    jnp.asarray(init_poses, jnp.float32),
+                    jnp.asarray(np.asarray(stacked_rgb)[:, 1:]),
+                    jnp.asarray(np.asarray(stacked_depth)[:, 1:]), widths)
+    poses = np.asarray(poses)
+    out = []
+    for o, obj in enumerate(objs):
+        full = np.concatenate([gt[:1], poses[o]], axis=0)
+        out.append(_score_poses(obj, gt, full))
+    return out
+
+
+def shift_severity_sweep(obj: BenchObject, gt: np.ndarray, *,
+                         hard: bool = True, impl: str | None = None,
+                         severities=(0.5, 1.0, 2.0, 4.0),
+                         sensor=None, seed: int = 0, K=YCB_K,
+                         hw=(480, 640), log=_print_flush) -> list[dict]:
+    """AUC-vs-severity curve: evaluate the tracker under the sensor
+    model scaled to each severity (domain_shift.SensorModel.scaled — at
+    s the lighting constants move s of the way from the rasterizer
+    defaults, noise/blur/quantization/init-error scale by s). A single
+    mild operating point is not a robustness margin; this sweep shows
+    where degradation begins (VERDICT r3 #3). Each severity re-renders
+    the observed video (the lighting shift changes with s) and re-draws
+    a noisy init of the scaled magnitude.
+
+    Textured objects get one extra row, ``"tex_hostile"``: a strong
+    fixed color cast + doubled AWB hunting at base severity
+    (domain_shift.texture_hostile) — the shift that attacks the UV
+    appearance cue specifically."""
+    from . import domain_shift as DS
+
+    base = sensor if sensor is not None else DS.SensorModel()
+    points = [(float(s), base.scaled(float(s))) for s in severities]
+    if obj.tm.texture is not None:
+        points.append(("tex_hostile", DS.texture_hostile(base)))
+    rows = []
+    for tag, sm in points:
+        rgb, dep = render_test_video(obj.mesh, gt, K=K, hw=hw, hard=hard,
+                                     impl=impl, lighting=sm.lighting())
+        sd = seed + (int(tag * 100) if isinstance(tag, float) else 9999)
+        rgb_s, dep_s = DS.shift_video(rgb, dep, gt, K, sm, seed=2000 + sd)
+        init = DS.noisy_init_pose(jax.random.PRNGKey(700 + sd), gt[0], sm)
+        r = evaluate_tracking(obj, gt, rgb_s, dep_s, K=K, init_pose=init)
+        rows.append({
+            "severity": tag,
+            "add_auc": r["add_auc"],
+            "adi_auc": r["adi_auc"],
+            "add_mean_mm": r["add_mean_mm"],
+            "final_trans_err_mm": r["final_trans_err_mm"],
+        })
+        log(f"[{obj.name}] shift x{tag}: ADD AUC {r['add_auc']:.2f} "
+            f"ADD-S {r['adi_auc']:.2f} mean {r['add_mean_mm']:.1f}mm")
+    return rows
 
 
 def hard_aug() -> A.AugmentConfig:
@@ -516,6 +613,9 @@ def run_suite(
     domain_shift: bool = False,
     shift_sensor=None,
     long_horizon_frames: int = 0,
+    shift_sweep=(),
+    sweep_objects=("cube", "lshape", "textured_box"),
+    recovery_objects=(),
 ) -> list[dict]:
     """Train + track + score each object; returns per-object metric
     dicts (the framework's accuracy table).
@@ -529,15 +629,26 @@ def run_suite(
     (one program per step, one compile, one stats pass, resumable via
     ``ensemble_ckpt_dir`` — :func:`train_objects_ensemble`; single-chip
     throughput matches sequential, multi-chip meshes get true
-    object-parallelism).
+    object-parallelism). The EVAL phase then also runs as one ensemble
+    program per table (:func:`ensemble_evaluate_tracking` — one compile
+    instead of one per object; observed videos quantized to sensor
+    precision, uint8 RGB / uint16 mm depth, to bound HBM+RAM).
     ``domain_shift``: additionally evaluate each object on a
     domain-SHIFTED video (different lighting constants than the
     tracker's A branch, photometric drift, sensor-model depth, motion
     blur, noisy init — eval/domain_shift.py) and report both tables.
-    ``long_horizon_frames``: when > 0, also run the closed-loop
-    long-horizon protocol (domain_shift.long_horizon_eval — health-score
-    ReinitPolicy + noisy external re-init) over that many frames on the
-    FIRST object, attached as results[0]['long_horizon'].
+    ``long_horizon_frames``: when > 0, run the closed-loop long-horizon
+    protocol (domain_shift.long_horizon_eval — health-score ReinitPolicy
+    + noisy external re-init) over that many frames on EVERY object,
+    attached as results[i]['long_horizon'].
+    ``shift_sweep``: severities (e.g. (0.5, 1, 2, 4)) for the
+    AUC-vs-severity curve on each object named in ``sweep_objects``
+    (textured objects add a texture-hostile row) — results[i]
+    ['shift_sweep'].
+    ``recovery_objects``: object names that additionally run the
+    long-horizon protocol with a FORCED mid-run failure (15-frame
+    full-occlusion burst) and report detection latency + post-recovery
+    AUC — results[i]['recovery'].
     """
     unknown = [n for n in object_names if n not in OBJECTS]
     if unknown:  # fail BEFORE hours of training, not at the bad name
@@ -550,6 +661,57 @@ def run_suite(
         objs = train_objects_ensemble(
             object_names, steps=steps, batch=batch, res=res, dr=dr,
             aug=aug, impl=impl, log=log, ckpt_dir=ensemble_ckpt_dir)
+    from . import domain_shift as DS
+
+    sensor = shift_sensor if shift_sensor is not None else DS.SensorModel()
+    gt = make_gt_trajectory(frames)
+
+    def _shifted_video(obj, idx):
+        rgb2, dep2 = render_test_video(
+            obj.mesh, gt, hard=hard, impl=impl, lighting=sensor.lighting())
+        rgb_s, dep_s = DS.shift_video(rgb2, dep2, gt, YCB_K, sensor,
+                                      seed=100 + idx)
+        init = DS.noisy_init_pose(jax.random.PRNGKey(500 + idx), gt[0],
+                                  sensor)
+        return rgb_s, dep_s, init
+
+    def _quantize(rgb, dep):
+        """Observed video at sensor precision (uint8 / uint16 mm)."""
+        rgb = np.asarray(jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8))
+        dep = np.asarray(jnp.clip(jnp.round(dep), 0, 65535).astype(
+            jnp.uint16))
+        return rgb, dep
+
+    # Ensemble eval fast path: ONE compiled program scores every
+    # object's matched video, one more the shifted table (VERDICT r3
+    # #6) — on the remote-compile tunnel that replaces O per-object
+    # track_video compiles (tens of seconds each).
+    ens_matched = ens_shifted = None
+    if objs is not None:
+        try:
+            vids = [_quantize(*render_test_video(o.mesh, gt, hard=hard,
+                                                 impl=impl))
+                    for o in objs]
+            ens_matched = ensemble_evaluate_tracking(
+                objs, gt, np.stack([v[0] for v in vids]),
+                np.stack([v[1] for v in vids]))
+            del vids
+            if domain_shift:
+                svids, inits = [], []
+                for idx, o in enumerate(objs):
+                    rgb_s, dep_s, init = _shifted_video(o, idx)
+                    svids.append(_quantize(rgb_s, dep_s))
+                    inits.append(np.asarray(init))
+                ens_shifted = ensemble_evaluate_tracking(
+                    objs, gt, np.stack([v[0] for v in svids]),
+                    np.stack([v[1] for v in svids]),
+                    init_poses=np.stack(inits))
+                del svids
+        except Exception as e:  # OOM etc: sequential path still works
+            log(f"ensemble eval failed ({e!r}); falling back to "
+                f"sequential per-object eval")
+            ens_matched = ens_shifted = None
+
     results = []
     for idx, name in enumerate(object_names):
         if objs is not None:
@@ -560,10 +722,12 @@ def run_suite(
                 res=res, dr=dr, aug=aug, impl=impl, seed_offset=idx,
                 log=log,
             )
-        gt = make_gt_trajectory(frames)
-        frames_rgb, frames_depth = render_test_video(
-            obj.mesh, gt, hard=hard, impl=impl)
-        r = evaluate_tracking(obj, gt, frames_rgb, frames_depth)
+        if ens_matched is not None:
+            r = ens_matched[idx]
+        else:
+            frames_rgb, frames_depth = render_test_video(
+                obj.mesh, gt, hard=hard, impl=impl)
+            r = evaluate_tracking(obj, gt, frames_rgb, frames_depth)
         r["train_secs"] = obj.train_secs
         r["symmetric"] = name in SYMMETRIC_OBJECTS
         r.pop("poses")
@@ -575,18 +739,12 @@ def run_suite(
             f"mean {r['add_mean_mm']:.1f}mm "
             f"(hold-init {r['baseline_add_mean_mm']:.1f}mm)")
         if domain_shift:
-            from . import domain_shift as DS
-
-            sensor = shift_sensor if shift_sensor is not None else \
-                DS.SensorModel()
-            rgb2, dep2 = render_test_video(
-                obj.mesh, gt, hard=hard, impl=impl,
-                lighting=sensor.lighting())
-            rgb_s, dep_s = DS.shift_video(rgb2, dep2, gt, YCB_K, sensor,
-                                          seed=100 + idx)
-            init = DS.noisy_init_pose(jax.random.PRNGKey(500 + idx),
-                                      gt[0], sensor)
-            rs = evaluate_tracking(obj, gt, rgb_s, dep_s, init_pose=init)
+            if ens_shifted is not None:
+                rs = ens_shifted[idx]
+            else:
+                rgb_s, dep_s, init = _shifted_video(obj, idx)
+                rs = evaluate_tracking(obj, gt, rgb_s, dep_s,
+                                       init_pose=init)
             r["domain_shifted"] = {
                 k: rs[k] for k in (
                     "add_auc", "adi_auc", "add_mean_mm", "add_max_mm",
@@ -597,11 +755,11 @@ def run_suite(
                 f"ADD-S AUC {rs['adi_auc']:.2f} "
                 f"mean {rs['add_mean_mm']:.1f}mm (noisy init, shifted "
                 f"lighting/sensor)")
-        if long_horizon_frames and idx == 0:
-            from . import domain_shift as DS
-
-            sensor = shift_sensor if shift_sensor is not None else \
-                DS.SensorModel()
+        if shift_sweep and name in sweep_objects:
+            r["shift_sweep"] = shift_severity_sweep(
+                obj, gt, hard=hard, impl=impl, severities=shift_sweep,
+                sensor=sensor, seed=idx, log=log)
+        if long_horizon_frames:
             gt_lh = make_gt_trajectory(long_horizon_frames, seed=17)
             rgb_lh, dep_lh = render_test_video(
                 obj.mesh, gt_lh, hard=hard, impl=impl,
@@ -616,6 +774,20 @@ def run_suite(
             log(f"[{name}] long-horizon {lh['frames']}fr: "
                 f"ADD AUC {lh['add_auc']:.2f} "
                 f"reinit x{lh['reinit_count']}")
+            if name in recovery_objects:
+                # forced 15-frame full-occlusion burst one third in:
+                # detection latency + post-recovery AUC (VERDICT r3 #4)
+                r["recovery"] = DS.long_horizon_eval(
+                    obj, gt_lh, rgb_lh, dep_lh, YCB_K,
+                    reinit_sensor=sensor,
+                    fail_at=long_horizon_frames // 3, fail_len=15)
+                rc = r["recovery"]
+                log(f"[{name}] recovery (occlusion burst @"
+                    f"{rc['fail_at']}+{rc['fail_len']}): detected in "
+                    f"{rc['detection_latency']} frames, recovered at "
+                    f"{rc['recovered_at']}, post-recovery ADD AUC "
+                    f"{rc.get('post_recovery_add_auc', float('nan')):.2f}"
+                    f", reinit x{rc['reinit_count']}")
         results.append(r)
         if on_result is not None:  # incremental persistence for long runs
             on_result(list(results))

@@ -220,20 +220,58 @@ def stack_meshes(meshes: list) -> Any:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *uploaded)
 
 
-def multi_object_track_videos(model, cfg, mesh: Mesh):
+def multi_object_track_videos(model, cfg, mesh: Mesh,
+                              per_object_stats: bool = False,
+                              serial: bool | None = None):
     """Track O objects (each with its own model weights, CAD mesh, ROI
     width, and video) in one SPMD program: vmap over the object axis,
     sharded on ('obj', 'dp'). The per-frame recurrence stays sequential
     per video; the ensemble axis is the parallel one.
 
-    Returns run(ens_vars, ens_meshes, K, mean, std, widths, init_poses,
-    frames_rgb, frames_depth) -> (O, T, 4, 4).
+    ``per_object_stats``: mean/std carry a leading object axis (each
+    object's network normalizes with its own training statistics — the
+    accuracy suite's ensemble mode); default shares one (8,) pair.
+
+    ``serial`` (default: auto = single-device mesh): iterate objects
+    with ``lax.map`` instead of vmapping — the same single-chip
+    grouped-convolution hazard as :func:`ensemble_train_step` applies to
+    the tracking CNN. One device gets per-object throughput parity with
+    sequential tracking but ONE compile for the whole ensemble (the
+    meshes are padded to one face count, so every per-object shape is
+    identical); a multi-chip mesh runs objects in parallel via GSPMD.
+
+    Returns run(ens_vars, ens_meshes, K, mean, std, init_poses,
+    frames_rgb, frames_depth, widths) -> (O, T, 4, 4).
     """
     from ..tracking import tracker as trk
 
+    if serial is None:
+        serial = mesh.devices.size == 1
+    stats_axis = 0 if per_object_stats else None
+    if serial:
+        def run_serial(ens_vars, ens_meshes, K, mean, std, init_poses,
+                       frames_rgb, frames_depth, widths):
+            O = init_poses.shape[0]
+            if not per_object_stats:
+                mean_b = jnp.broadcast_to(mean, (O,) + mean.shape)
+                std_b = jnp.broadcast_to(std, (O,) + std.shape)
+            else:
+                mean_b, std_b = mean, std
+
+            def one(args):
+                v, m, mn, sd, ip, fr, fd, w = args
+                return trk.track_video(model, cfg, v, m, K, mn, sd, ip,
+                                       fr, fd, w)
+
+            return jax.lax.map(one, (ens_vars, ens_meshes, mean_b, std_b,
+                                     init_poses, frames_rgb, frames_depth,
+                                     widths))
+
+        return jax.jit(run_serial)
+
     vtrack = jax.vmap(
         functools.partial(trk.track_video, model, cfg),
-        in_axes=(0, 0, None, None, None, 0, 0, 0, 0),
+        in_axes=(0, 0, None, stats_axis, stats_axis, 0, 0, 0, 0),
     )
     obj_sh = _leaf_spec(mesh, "obj")
 

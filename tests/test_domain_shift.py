@@ -81,6 +81,49 @@ def test_noisy_init_magnitude():
     assert abs(ang - 8.0) < 0.01
 
 
+def test_sensor_model_scaled():
+    """scaled(s): s=0 is the matched domain (rasterizer default lighting,
+    zero noise/blur/init error), s=1 is the model itself, s>1 amplifies
+    every deviation together; probabilities saturate at 1."""
+    base = DS.SensorModel()
+    s0 = base.scaled(0.0)
+    assert s0.ambient == pytest.approx(0.65)
+    assert s0.diffuse == pytest.approx(0.4)
+    assert np.allclose(s0.light_cam, (0.0, -0.1, -0.9))
+    assert s0.rgb_noise_std == 0.0 and s0.motion_blur_px == 0.0
+    assert s0.init_trans_m == 0.0 and s0.init_rot_deg == 0.0
+    assert s0.gamma == pytest.approx(1.0)
+    assert s0.wb_const == pytest.approx((1.0, 1.0, 1.0))
+    s1 = base.scaled(1.0)
+    assert s1.ambient == pytest.approx(base.ambient)
+    assert s1.rgb_noise_std == pytest.approx(base.rgb_noise_std)
+    assert s1.gamma == pytest.approx(base.gamma)
+    s2 = base.scaled(2.0)
+    assert s2.rgb_noise_std == pytest.approx(2 * base.rgb_noise_std)
+    assert s2.edge_dropout_prob == 1.0          # saturates
+    assert s2.init_rot_deg == pytest.approx(16.0)
+    hash(s2)  # stays hashable (jit static arg)
+
+
+def test_texture_hostile_color_cast():
+    """texture_hostile: a strong fixed white-balance error that actually
+    recolors the shifted video (R up, B down)."""
+    th = DS.texture_hostile()
+    assert th.wb_const[0] > 1.1 and th.wb_const[2] < 0.9
+    sensor = DS.SensorModel(rgb_noise_std=0.0, motion_blur_px=0.0,
+                            exposure_amp=0.0, wb_amp=0.0, gamma=1.0)
+    import dataclasses
+
+    cast = dataclasses.replace(sensor, wb_const=th.wb_const)
+    _, gt, rgb, dep = _clean_video(T=2)
+    rgb_a, _ = DS.shift_video(rgb, dep, gt, K_SMALL, sensor)
+    rgb_b, _ = DS.shift_video(rgb, dep, gt, K_SMALL, cast)
+    hit = np.asarray(dep[0]) > 0
+    a, b = np.asarray(rgb_a[0])[hit], np.asarray(rgb_b[0])[hit]
+    assert b[:, 0].mean() > a[:, 0].mean() * 1.05   # red gained
+    assert b[:, 2].mean() < a[:, 2].mean() * 0.95   # blue lost
+
+
 def _zero_head_bench_object(res=48):
     tm = M.make_cube(0.08)
     model = tracknet.Se3TrackNet(image_size=res)
@@ -124,3 +167,35 @@ def test_long_horizon_reinit_fires_on_drift():
 
     base_add, _ = ME.batch_errors(np.tile(gt[:1], (T, 1, 1)), gt, cloud)
     assert r["add_mean_mm"] < float(base_add.mean() * 1000)
+
+
+@pytest.mark.slow
+def test_forced_occlusion_burst_recovery():
+    """Forced-failure protocol (VERDICT r3 #4): a static scene a
+    zero-head (hold-pose) tracker tracks perfectly, then a 8-frame
+    full-occlusion burst. The depth-agreement health collapses within
+    ``patience`` frames, the detector stays blind until the burst
+    clears, re-detection fires at the first clear frame, and the
+    post-recovery AUC is near-perfect again."""
+    obj = _zero_head_bench_object()
+    T = 40
+    pose0 = np.eye(4, dtype=np.float32)
+    pose0[:3, 3] = [0.0, 0.0, 0.6]
+    gt = np.tile(pose0[None], (T, 1, 1))
+    rgb, dep = SB.render_test_video(obj.mesh, gt, K=K_SMALL, hw=HW,
+                                    impl="xla")
+    mild = DS.SensorModel(init_trans_m=0.001, init_rot_deg=0.5)
+    r = DS.long_horizon_eval(obj, gt, rgb, dep, K_SMALL, chunk=10,
+                             threshold=0.4, patience=2,
+                             reinit_sensor=mild, fail_at=10, fail_len=8)
+    assert r["fail_at"] == 10 and r["fail_len"] == 8
+    assert r["reinit_count"] >= 1
+    assert r["detection_latency"] is not None
+    assert r["detection_latency"] <= 4            # patience 2 + chunking
+    assert r["recovered_at"] is not None
+    assert r["recovered_at"] >= 18                # not during the burst
+    assert r["post_recovery_add_auc"] > 90.0      # re-anchored cleanly
+    # (a hold-pose tracker on a STATIC scene loses ~nothing during the
+    # burst, so whole-run ~== post-recovery here; the dynamic-scene cost
+    # shows up in the accuracy suite's recovery rows)
+    assert r["add_auc"] > 90.0

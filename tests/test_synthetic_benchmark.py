@@ -120,6 +120,97 @@ def test_tiny_ensemble_training_end_to_end():
     assert np.isfinite(r["add_auc"])
 
 
+def _random_bench_object(tm, name, seed, res=48, mean_off=0.0):
+    """Untrained BenchObject (random weights) — enough to exercise the
+    numerical tracking path without a training run."""
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.models import tracknet
+    from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+    model = tracknet.Se3TrackNet(image_size=res)
+    variables = tracknet.init_variables(model, jax.random.PRNGKey(seed))
+    w = tm.diameter * 1000 * 1.1
+    return SB.BenchObject(
+        name=name, tm=tm, mesh=rz.upload(tm), model=model,
+        variables=variables, mean=jnp.full(8, mean_off),
+        std=jnp.full(8, 100.0 + 10 * seed), width_mm=w,
+        tcfg=trk.TrackerConfig(resolution=res, object_width_mm=w,
+                               render_impl="xla"),
+    )
+
+
+@pytest.mark.slow
+def test_ensemble_evaluate_tracking_matches_sequential():
+    """One-program ensemble eval (multi_object_track_videos consumer)
+    reproduces the sequential evaluate_tracking numbers per object —
+    per-object weights, stats, widths, and meshes all plumbed through
+    the stacked path."""
+    objs = [
+        _random_bench_object(M.make_cube(0.08), "cube", 0),
+        _random_bench_object(M.make_box((0.10, 0.06, 0.035)), "box", 1,
+                             mean_off=5.0),
+    ]
+    gt = SB.make_gt_trajectory(4)
+    vids = []
+    for o in objs:
+        fr, fd = SB.render_test_video(o.mesh, gt, K=K_SMALL, hw=(48, 64),
+                                      impl="xla")
+        import jax.numpy as jnp
+
+        vids.append((
+            np.asarray(jnp.clip(jnp.round(fr), 0, 255).astype(jnp.uint8)),
+            np.asarray(jnp.round(fd).astype(jnp.uint16)),
+        ))
+    ens = SB.ensemble_evaluate_tracking(
+        objs, gt, np.stack([v[0] for v in vids]),
+        np.stack([v[1] for v in vids]), K=K_SMALL)
+    assert len(ens) == 2
+    for o, v, e in zip(objs, vids, ens):
+        seq = SB.evaluate_tracking(o, gt, v[0], v[1], K=K_SMALL)
+        np.testing.assert_allclose(e["poses"], seq["poses"], atol=1e-4)
+        assert e["add_auc"] == pytest.approx(seq["add_auc"], abs=0.05)
+    # the two objects' trajectories actually differ (not one object
+    # evaluated twice)
+    assert np.abs(ens[0]["poses"] - ens[1]["poses"]).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_shift_severity_sweep_smoke():
+    """Severity 0 is the matched domain (near-zero shift): a hold-pose
+    tracker on a static scene scores ~perfect there; rows carry the
+    sweep schema."""
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.models import tracknet
+    from iros20_6d_pose_tracking_tpu.tracking import tracker as trk
+
+    tm = M.make_cube(0.08)
+    model = tracknet.Se3TrackNet(image_size=48)
+    variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
+    params = variables["params"]
+    for head in ("trans_out", "rot_out"):
+        params[head]["kernel"] = params[head]["kernel"] * 0.0
+        params[head]["bias"] = params[head]["bias"] * 0.0
+    w = tm.diameter * 1000 * 1.1
+    obj = SB.BenchObject(
+        name="cube", tm=tm, mesh=rz.upload(tm), model=model,
+        variables={"params": params,
+                   "batch_stats": variables["batch_stats"]},
+        mean=jnp.zeros(8), std=jnp.full(8, 100.0), width_mm=w,
+        tcfg=trk.TrackerConfig(resolution=48, object_width_mm=w,
+                               render_impl="xla"),
+    )
+    pose0 = np.eye(4, dtype=np.float32)
+    pose0[:3, 3] = [0.0, 0.0, 0.6]
+    gt = np.tile(pose0[None], (3, 1, 1))
+    rows = SB.shift_severity_sweep(obj, gt, hard=False, impl="xla",
+                                   severities=(0.0,), K=K_SMALL,
+                                   hw=(48, 64), log=lambda *a: None)
+    assert len(rows) == 1 and rows[0]["severity"] == 0.0
+    assert np.isfinite(rows[0]["add_auc"])
+
+
 @pytest.mark.slow
 def test_ensemble_checkpoint_resume(tmp_path):
     """Interrupting an ensemble run and resuming from its checkpoint
