@@ -254,3 +254,31 @@ def test_ensemble_checkpoint_resume(tmp_path):
     p_res2 = jax.tree_util.tree_leaves(resumed2[0].variables["params"])[0]
     np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_res2),
                                atol=1e-6)
+
+
+@pytest.mark.slow
+def test_run_suite_ensemble_with_textured_and_extras(tmp_path):
+    """run_suite end to end at tiny scale: ensemble mode with a textured
+    object (trained/evaluated OUTSIDE the ensemble — stack_meshes bakes
+    textures, which would be a self-inflicted train/eval domain gap),
+    domain shift, severity sweep, all-object long horizon, and a forced
+    recovery row."""
+    results = SB.run_suite(
+        ("cube", "textured_box"), steps=2, frames=3, batch=4, res=48,
+        hard=False, impl="xla", log=lambda *a: None, ensemble=True,
+        domain_shift=True, long_horizon_frames=12,
+        shift_sweep=(1.0,), sweep_objects=("textured_box",),
+        recovery_objects=("cube",),
+    )
+    assert [r["name"] for r in results] == ["cube", "textured_box"]
+    for r in results:
+        assert np.isfinite(r["add_auc"])
+        assert np.isfinite(r["domain_shifted"]["add_auc"])
+        assert r["long_horizon"]["frames"] == 11
+    # textured object: severity row + the texture-hostile extra row
+    sw = results[1]["shift_sweep"]
+    assert [p["severity"] for p in sw] == [1.0, "tex_hostile"]
+    # recovery row ran on cube with the failure telemetry schema
+    rc = results[0]["recovery"]
+    assert rc["fail_at"] == 4 and rc["reinit_count"] >= 0
+    assert "detection_latency" in rc
