@@ -817,7 +817,8 @@ def make_textured_box(size_xyz=(0.11, 0.08, 0.055),
 
 
 def decimate(verts: np.ndarray, faces: np.ndarray, colors: np.ndarray | None,
-             target_faces: int, iters: int = 8):
+             target_faces: int, iters: int = 8,
+             face_uvs: np.ndarray | None = None):
     """Vertex-clustering decimation to approximately ``target_faces``.
 
     Production CAD scans often carry 10-100x more triangles than a
@@ -825,14 +826,29 @@ def decimate(verts: np.ndarray, faces: np.ndarray, colors: np.ndarray | None,
     so decimation is the single biggest tracking-throughput lever. Grid
     resolution is bisected until the face count lands near the target.
 
-    Returns (verts, faces, colors) with degenerate faces removed.
+    Returns (verts, faces, colors) with degenerate faces removed — or
+    (verts, faces, colors, face_uvs) when ``face_uvs`` is given. UVs are
+    PER-CORNER (aligned with faces, (F,3,2)): each surviving face keeps
+    its OWN affine UV chart, re-evaluated at the new corner positions
+    (corners move to cluster centroids, so the original corner UVs would
+    paint the original small triangle's texture across the whole merged
+    face — the chart must be extrapolated, not copied). Using only the
+    face's own chart means texture seams need no special casing: a seam
+    is just two faces whose shared geometric corner carries different
+    UVs, true before and after clustering. On locally-flat surfaces the
+    extrapolation is exact; elsewhere the UV error is the same order as
+    the geometric error — unlike baking the texture to vertex colors,
+    which destroys all sub-face detail.
     """
     verts = np.asarray(verts, np.float64)
     lo, hi = verts.min(0), verts.max(0)
     extent = float(np.max(hi - lo))
     if len(faces) <= target_faces:
-        return (verts.astype(np.float32), faces.astype(np.int32),
-                None if colors is None else np.asarray(colors, np.float32))
+        out = (verts.astype(np.float32), faces.astype(np.int32),
+               None if colors is None else np.asarray(colors, np.float32))
+        if face_uvs is not None:
+            return out + (np.asarray(face_uvs, np.float32),)
+        return out
 
     def cluster(cell):
         keys = np.floor((verts - lo) / cell).astype(np.int64)
@@ -855,19 +871,46 @@ def decimate(verts: np.ndarray, faces: np.ndarray, colors: np.ndarray | None,
             csum = np.zeros((n, colors.shape[1]))
             np.add.at(csum, inv, np.asarray(colors, np.float64))
             new_colors = csum / cnt
-        return new_verts, new_faces, new_colors
+        new_uvs = None
+        if face_uvs is not None:
+            # Re-evaluate each kept face's affine UV chart at its new
+            # corners: solve q - p0 = a*e1 + b*e2 (least squares onto
+            # the original face plane), uv(q) = uv0 + a*du1 + b*du2.
+            uv0 = np.asarray(face_uvs, np.float64)[keep]
+            orig = verts[faces[keep]]              # (Fk, 3, 3)
+            newc = new_verts[new_faces]            # (Fk, 3, 3)
+            e1 = orig[:, 1] - orig[:, 0]
+            e2 = orig[:, 2] - orig[:, 0]
+            du1 = uv0[:, 1] - uv0[:, 0]
+            du2 = uv0[:, 2] - uv0[:, 0]
+            d = newc - orig[:, 0:1]
+            g11 = (e1 * e1).sum(-1)
+            g12 = (e1 * e2).sum(-1)
+            g22 = (e2 * e2).sum(-1)
+            det = np.maximum(g11 * g22 - g12 * g12, 1e-18)
+            r1 = np.einsum("fkc,fc->fk", d, e1)
+            r2 = np.einsum("fkc,fc->fk", d, e2)
+            a = (g22[:, None] * r1 - g12[:, None] * r2) / det[:, None]
+            b = (g11[:, None] * r2 - g12[:, None] * r1) / det[:, None]
+            new_uvs = (uv0[:, 0:1]
+                       + a[..., None] * du1[:, None, :]
+                       + b[..., None] * du2[:, None, :]).astype(np.float32)
+        return new_verts, new_faces, new_colors, new_uvs
 
     lo_cell, hi_cell = extent / 512.0, extent / 2.0
     best = None
     for _ in range(iters):
         cell = np.sqrt(lo_cell * hi_cell)  # geometric bisection
-        v, f, c = cluster(cell)
+        v, f, c, fu = cluster(cell)
         if best is None or abs(len(f) - target_faces) < abs(len(best[1]) - target_faces):
-            best = (v, f, c)
+            best = (v, f, c, fu)
         if len(f) > target_faces:
             lo_cell = cell  # need coarser grid
         else:
             hi_cell = cell
-    v, f, c = best
-    return (v.astype(np.float32), f.astype(np.int32),
-            None if c is None else c.astype(np.float32))
+    v, f, c, fu = best
+    out = (v.astype(np.float32), f.astype(np.int32),
+           None if c is None else c.astype(np.float32))
+    if face_uvs is not None:
+        return out + (fu,)
+    return out

@@ -274,21 +274,24 @@ class Tracker:
             # Rasterization cost is linear in face count; production CAD
             # scans usually carry far more triangles than a 176x176 ROI
             # resolves. Width/ADD points still come from the FULL mesh.
-            colors = mesh.colors
             if mesh.texture is not None and mesh.face_uvs is not None:
-                # decimate() merges vertices across UV seams, so the
-                # per-corner UV pipeline no longer applies — bake the
-                # texture to vertex colors first (lossy but keeps the A
-                # branch's appearance; undecimated textured meshes keep
-                # full perspective-correct texture sampling).
-                colors = mesh_mod.bake_texture_to_colors(
-                    mesh.verts, mesh.faces[: mesh.num_faces],
-                    mesh.face_uvs[: mesh.num_faces], mesh.texture)
-            v, f, c = mesh_mod.decimate(
-                mesh.verts, mesh.faces[: mesh.num_faces], colors,
-                max_faces,
-            )
-            render_mesh = mesh_mod.build_trimesh(v, f, c)
+                # UV-preserving decimation: per-corner UVs ride the
+                # surviving faces through vertex clustering (seams need
+                # no special casing), so the decimated mesh keeps full
+                # perspective-correct texture sampling instead of a
+                # lossy vertex-color bake (render/mesh.py::decimate).
+                v, f, c, fuv = mesh_mod.decimate(
+                    mesh.verts, mesh.faces[: mesh.num_faces], None,
+                    max_faces, face_uvs=mesh.face_uvs[: mesh.num_faces],
+                )
+                render_mesh = mesh_mod.build_trimesh(
+                    v, f, c, face_uvs=fuv, texture=mesh.texture)
+            else:
+                v, f, c = mesh_mod.decimate(
+                    mesh.verts, mesh.faces[: mesh.num_faces], mesh.colors,
+                    max_faces,
+                )
+                render_mesh = mesh_mod.build_trimesh(v, f, c)
         else:
             render_mesh = mesh
         self.trimesh = mesh

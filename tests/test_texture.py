@@ -256,3 +256,106 @@ def test_save_obj_roundtrip_render(tmp_path):
     np.testing.assert_array_equal(cube.faces[: cube.num_faces],
                                   c2.faces[: c2.num_faces])
     np.testing.assert_allclose(cube.colors, c2.colors, atol=1e-4)
+
+
+def _subdivide_textured(tm, levels=3):
+    """Midpoint-subdivide every face; per-corner UVs interpolate with the
+    geometry (test helper for building a finely-tessellated textured
+    mesh)."""
+    verts = np.asarray(tm.verts, np.float64)
+    faces = np.asarray(tm.faces[: tm.num_faces])
+    uvs = np.asarray(tm.face_uvs[: tm.num_faces], np.float64)
+    for _ in range(levels):
+        tri = verts[faces]                      # (F, 3, 3)
+        mid = (tri + np.roll(tri, -1, axis=1)) / 2  # m01, m12, m20
+        uv_mid = (uvs + np.roll(uvs, -1, axis=1)) / 2
+        new_tris, new_uvs = [], []
+        for corner in range(3):
+            new_tris.append(np.stack(
+                [tri[:, corner], mid[:, corner],
+                 mid[:, (corner + 2) % 3]], axis=1))
+            new_uvs.append(np.stack(
+                [uvs[:, corner], uv_mid[:, corner],
+                 uv_mid[:, (corner + 2) % 3]], axis=1))
+        new_tris.append(mid)
+        new_uvs.append(uv_mid)
+        tri = np.concatenate(new_tris, 0)
+        uvs = np.concatenate(new_uvs, 0)
+        # re-index: unique vertices from the triangle soup
+        flat = tri.reshape(-1, 3)
+        uniq, inv = np.unique(np.round(flat, 9), axis=0,
+                              return_inverse=True)
+        verts = uniq
+        faces = inv.reshape(-1, 3)
+    return M.build_trimesh(verts, faces, face_uvs=uvs.astype(np.float32),
+                           texture=tm.texture)
+
+
+def test_uv_preserving_decimation_golden():
+    """Decimating a finely-tessellated textured mesh KEEPS the texture:
+    per-corner UVs ride the surviving faces (seams included), so the
+    decimated render matches the original far better than the old
+    bake-to-vertex-colors fallback (VERDICT r3 #8)."""
+    import jax.numpy as jnp
+
+    base = M.make_textured_box()
+    fine = _subdivide_textured(base, levels=3)   # 12 -> 768 real faces
+    assert fine.num_faces > 700
+    target = 120
+    v, f, c, fuv = M.decimate(fine.verts, fine.faces[: fine.num_faces],
+                              None, target,
+                              face_uvs=fine.face_uvs[: fine.num_faces])
+    dec = M.build_trimesh(v, f, c, face_uvs=fuv, texture=fine.texture)
+    assert dec.num_faces < fine.num_faces
+    assert dec.face_uvs is not None and dec.texture is not None
+
+    # old fallback: bake texture to vertex colors, then decimate
+    baked_colors = M.bake_texture_to_colors(
+        fine.verts, fine.faces[: fine.num_faces],
+        fine.face_uvs[: fine.num_faces], fine.texture)
+    vb, fb, cb = M.decimate(fine.verts, fine.faces[: fine.num_faces],
+                            baked_colors, target)
+    baked = M.build_trimesh(vb, fb, cb)
+
+    K = np.array([[300.0, 0, 64.0], [0, 300.0, 64.0], [0, 0, 1.0]],
+                 np.float32)
+    win = rz.full_frame_window(128, 128)
+    pose = jnp.eye(4).at[2, 3].set(0.45)
+    ref_rgb, _ = rz.render(rz.upload(fine), pose, jnp.asarray(K), win,
+                           out_hw=(128, 128), impl="xla")
+    dec_rgb, dec_d = rz.render(rz.upload(dec), pose, jnp.asarray(K), win,
+                               out_hw=(128, 128), impl="xla")
+    bak_rgb, _ = rz.render(rz.upload(baked), pose, jnp.asarray(K), win,
+                           out_hw=(128, 128), impl="xla")
+    hit = np.asarray(dec_d) > 0
+    assert hit.mean() > 0.05
+    err_uv = np.abs(np.asarray(ref_rgb) - np.asarray(dec_rgb))[hit].mean()
+    err_bake = np.abs(np.asarray(ref_rgb) - np.asarray(bak_rgb))[hit].mean()
+    # texture detail survives: UV-preserving decimation at least halves
+    # the appearance error of the bake fallback, and stays close to the
+    # full-resolution textured render in absolute terms
+    assert err_uv < 0.5 * err_bake
+    assert err_uv < 12.0
+
+
+def test_tracker_max_faces_keeps_texture():
+    """Tracker(max_faces=...) on a textured mesh now uploads a TEXTURED
+    decimated mesh (fuvs + texture on the device arrays), not a
+    vertex-color bake."""
+    import jax.numpy as jnp
+
+    from iros20_6d_pose_tracking_tpu.tracking.tracker import Tracker
+
+    base = M.make_textured_box()
+    fine = _subdivide_textured(base, levels=2)   # 192 real faces
+    info = {
+        "camera": {"focalX": 300.0, "focalY": 300.0, "centerX": 64.0,
+                   "centerY": 64.0, "width": 128, "height": 128},
+        "resolution": 48, "boundingbox": 10,
+        "max_translation": 0.02, "max_rotation": 15,
+        "models": {},
+    }
+    t = Tracker(info, np.zeros(8), np.full(8, 100.0), mesh=fine,
+                max_faces=60, persistent_cache=False)
+    assert t.mesh.fuvs is not None and t.mesh.texture is not None
+    assert int(t.mesh.fmask.sum()) <= 64 + 60  # decimated (padding aside)
