@@ -107,13 +107,22 @@ def train_object(
     impl: str | None = None,
     seed_offset: int = 0,
     log=_print_flush,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 1000,
 ) -> BenchObject:
     """Train Se3TrackNet on on-device synthetic pairs for one object.
 
     Mirrors the reference recipe (train.py:85-165): pose-perturbation
     pairs, photometric augmentation, mean/std pass, Adam. ``dr`` adds the
     on-device scene randomization (data/dataset.py::DRComposite) that
-    stands in for the Blender DR stage."""
+    stands in for the Blender DR stage.
+
+    ``ckpt_dir``: periodic full-state checkpointing every ``ckpt_every``
+    steps to ``<ckpt_dir>/<name>_last.msgpack`` — an interrupted run
+    resumes from the last save (same mechanism as
+    :func:`train_objects_ensemble`: RNG streams are keyed by the
+    absolute step index, so the resumed run consumes the same batch
+    sequence)."""
     impl = impl or default_impl()
     mesh = rz.upload(tm)
     width = tm.diameter * 1000 * 1.1
@@ -128,22 +137,68 @@ def train_object(
         xyz_range=((-0.12, 0.12), (-0.09, 0.09), (0.45, 0.85)),
         dr=dr,
     )
-    mean, std = tr.compute_mean_std(
-        (synth.sample_batch(jax.random.PRNGKey(900 + seed_offset + i), batch)
-         for i in range(4)),
-        cfg, max_samples=4 * batch,
-    )
+    ckpt_path = None
+    restored = None
+    if ckpt_dir:
+        import os as _os
+
+        from ..train import checkpoint as ck
+
+        _os.makedirs(ckpt_dir, exist_ok=True)
+        ckpt_path = _os.path.join(ckpt_dir, f"{name}_last.msgpack")
+        if _os.path.exists(ckpt_path):
+            meta = ck.load_metadata(ckpt_path)
+            if (meta.get("name") == name
+                    and int(meta.get("total_steps", -1)) == steps
+                    and int(meta.get("batch", -1)) == batch
+                    and int(meta.get("res", -1)) == res):
+                restored = ck.load_checkpoint(ckpt_path)
+            else:
+                log(f"[{name}] ignoring {ckpt_path}: different "
+                    "name/steps/batch/res")
+
+    if restored is not None:
+        mean_j = jnp.asarray(restored["mean"], jnp.float32)
+        std_j = jnp.asarray(restored["std"], jnp.float32)
+    else:
+        mean, std = tr.compute_mean_std(
+            (synth.sample_batch(jax.random.PRNGKey(900 + seed_offset + i),
+                                batch)
+             for i in range(4)),
+            cfg, max_samples=4 * batch,
+        )
+        mean_j = jnp.asarray(mean, jnp.float32)
+        std_j = jnp.asarray(std, jnp.float32)
     model = tracknet.Se3TrackNet(image_size=res)
     tx, _ = tr.make_optimizer(cfg, steps_per_epoch=10_000)
     state = tr.create_train_state(model, cfg, tx,
                                   jax.random.PRNGKey(seed_offset))
-    mean_j = jnp.asarray(mean, jnp.float32)
-    std_j = jnp.asarray(std, jnp.float32)
+    start_step = 0
+    if restored is not None:
+        from flax import serialization as _ser
+
+        from ..train import checkpoint as ck
+
+        state = _ser.from_state_dict(state, restored["state"])
+        start_step = int(ck.load_metadata(ckpt_path)["step"]) + 1
+        log(f"[{name}] resumed from {ckpt_path} at step {start_step}")
+
+    def save_ckpt(i):
+        if ckpt_path is None:
+            return
+        from ..train import checkpoint as ck
+
+        ck.save_checkpoint(
+            ckpt_path, {"state": state, "mean": mean_j, "std": std_j},
+            metadata={"name": name, "step": int(i),
+                      "total_steps": int(steps), "batch": int(batch),
+                      "res": int(res)},
+        )
 
     key = jax.random.PRNGKey(7 + seed_offset)
     losses = []
     t0 = time.time()
-    for i in range(steps):
+    for i in range(start_step, steps):
         raw = synth.sample_batch(jax.random.fold_in(key, i), batch)
         state, m = tr.train_step(model, tx, cfg, state,
                                  jax.random.fold_in(key, 10**6 + i), raw,
@@ -154,6 +209,8 @@ def train_object(
             log(f"[{name}] step {i}: loss={loss:.5f} "
                 f"trans={float(m['trans']):.5f} rot={float(m['rot']):.5f} "
                 f"({time.time() - t0:.0f}s)")
+        if ckpt_path and i and (i % ckpt_every == 0 or i == steps - 1):
+            save_ckpt(i)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     tcfg = trk.TrackerConfig(
         resolution=res, trans_normalizer=0.02,
@@ -678,7 +735,8 @@ def run_suite(
             objs_by_name[n] = train_object(
                 OBJECTS[n](), name=n, steps=steps, batch=batch, res=res,
                 dr=dr, aug=aug, impl=impl,
-                seed_offset=len(plain_names) + i, log=log)
+                seed_offset=len(plain_names) + i, log=log,
+                ckpt_dir=ensemble_ckpt_dir)
         objs = [objs_by_name[n] for n in object_names]
     from . import domain_shift as DS
 
@@ -747,7 +805,7 @@ def run_suite(
             obj = train_object(
                 OBJECTS[name](), name=name, steps=steps, batch=batch,
                 res=res, dr=dr, aug=aug, impl=impl, seed_offset=idx,
-                log=log,
+                log=log, ckpt_dir=ensemble_ckpt_dir,
             )
         if idx in ens_matched:
             r = ens_matched[idx]

@@ -257,6 +257,43 @@ def test_ensemble_checkpoint_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_object_checkpoint_resume(tmp_path):
+    """Single-object (non-ensemble) training checkpoints and resumes to
+    the uninterrupted run's exact weights — the path textured objects
+    ride in ensemble suites (they can't join the stacked program)."""
+    import json, os
+
+    kw = dict(K=K_SMALL, name="cube", batch=4, res=48, impl="xla",
+              log=lambda *a: None)
+    full = SB.train_object(M.make_cube(0.08), steps=4, **kw)
+
+    # interrupted run: steps=3 saves its last step (2) to the ckpt; then
+    # retarget total_steps=4 in the metadata (as if the 4-step run died
+    # right after step 2's periodic save) and resume to completion.
+    ck = str(tmp_path / "ck")
+    SB.train_object(M.make_cube(0.08), steps=3, ckpt_dir=ck,
+                    ckpt_every=100, **kw)
+    meta_p = os.path.join(ck, "cube_last.msgpack.json")
+    meta = json.load(open(meta_p))
+    assert meta["step"] == 2
+    meta["total_steps"] = 4
+    json.dump(meta, open(meta_p, "w"))
+    resumed = SB.train_object(M.make_cube(0.08), steps=4, ckpt_dir=ck,
+                              **kw)
+    p_full = jax.tree_util.tree_leaves(full.variables["params"])[0]
+    p_res = jax.tree_util.tree_leaves(resumed.variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_res),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(full.mean),
+                               np.asarray(resumed.mean), atol=1e-6)
+
+    # a mismatched config ignores the checkpoint instead of loading it
+    fresh = SB.train_object(M.make_cube(0.08), steps=5, ckpt_dir=ck, **kw)
+    assert json.load(open(meta_p))["total_steps"] == 5
+    assert fresh.losses  # trained from scratch, losses re-logged
+
+
+@pytest.mark.slow
 def test_run_suite_ensemble_with_textured_and_extras(tmp_path):
     """run_suite end to end at tiny scale: ensemble mode with a textured
     object (trained/evaluated OUTSIDE the ensemble — stack_meshes bakes
