@@ -556,11 +556,12 @@ def bench_ensemble(b, O=4, T=50):
     return hz
 
 
-def bench_train(b, batch=200, iters=10, res=176):
+def bench_train(b, batch=200, iters=10, res=176, dtype=None):
     """Training throughput at the reference's batch size (200,
     config.yml:19): fused jitted step = on-device augmentation +
     normalize/codec + fwd/bwd + Adam update. Returns (samples/s, flops
-    of one step)."""
+    of one step). ``dtype``: compute dtype (apps/train.py --bf16 keeps
+    f32 params/optimizer state with bf16 activations)."""
     import jax
     import jax.numpy as jnp
 
@@ -568,7 +569,8 @@ def bench_train(b, batch=200, iters=10, res=176):
     from iros20_6d_pose_tracking_tpu.train import trainer as tr
 
     cfg = tr.TrainConfig(resolution=res, batch_size=batch)
-    model = tracknet.Se3TrackNet(image_size=res)
+    model = tracknet.Se3TrackNet(image_size=res,
+                                 dtype=dtype or jnp.float32)
     tx, _ = tr.make_optimizer(cfg, steps_per_epoch=1000)
     state = tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
 
@@ -883,6 +885,15 @@ def main():
             bench_scan(b_t, f"f32/tex/{tm_t.num_faces}f"), 2)
 
     gated("scan-textured", 35, _tex)
+
+    def _train_bf16():
+        sps, train_flops, tbatch = bench_train(b, dtype=jnp.bfloat16)
+        out["train_bf16_samples_per_sec"] = round(sps, 1)
+        if train_flops:
+            out["train_bf16_mfu_pct_bf16_peak"] = round(
+                train_flops * sps / tbatch / PEAK_FLOPS_BF16 * 100, 3)
+
+    gated("train-bf16", 30, _train_bf16)
 
     out["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
     print(json.dumps(out))
