@@ -51,8 +51,52 @@ def time_left():
     return _BUDGET_S - (time.perf_counter() - _T0)
 
 
+# Rows accumulate here as they complete so the watchdog can emit a
+# partial-but-valid JSON line if the process wedges mid-row. The axon
+# tunnel loses an in-flight RPC every few hours (observed twice on
+# 2026-08-19: a suite run and a bench run each froze in futex_wait with
+# the device healthy for NEW processes) — when that happens the blocked
+# jax call never returns, no Python exception fires, and without a
+# watchdog the whole run records nothing.
+OUT = {"metric": "tracking_hz_single_object", "value": 0.0, "unit": "Hz",
+       "vs_baseline": 0.0}
+_LAST_PROGRESS = [time.perf_counter()]
+
+
 def log(*a):
+    _LAST_PROGRESS[0] = time.perf_counter()
     print(*a, file=sys.stderr, flush=True)
+
+
+def _start_watchdog(stall_s=300.0, grace_s=120.0):
+    """Emit the JSON line and hard-exit if (a) total wall exceeds the
+    budget + grace, or (b) no row has logged progress for ``stall_s``
+    while over half the budget is gone (a legitimate cold compile can
+    take minutes, so early stalls get the benefit of the doubt; a
+    late-run stall is a lost RPC). os._exit because a thread cannot
+    interrupt a natively-blocked jax call."""
+    import threading
+
+    def run():
+        while True:
+            time.sleep(5)
+            wall = time.perf_counter() - _T0
+            stalled = (time.perf_counter() - _LAST_PROGRESS[0] > stall_s
+                       and wall > _BUDGET_S / 2)
+            if wall > _BUDGET_S + grace_s or stalled:
+                OUT["watchdog_abort"] = (
+                    "stalled" if stalled else "over_budget")
+                OUT["bench_wall_s"] = round(wall, 1)
+                print(json.dumps(OUT), flush=True)
+                print(f"WATCHDOG: {OUT['watchdog_abort']} at {wall:.0f}s "
+                      f"(last progress "
+                      f"{time.perf_counter() - _LAST_PROGRESS[0]:.0f}s ago)"
+                      f" — emitted partial JSON and exiting",
+                      file=sys.stderr, flush=True)
+                os._exit(0)
+
+    threading.Thread(target=run, daemon=True,
+                     name="bench-watchdog").start()
 
 
 def build(res=176):
@@ -708,14 +752,20 @@ def main():
         return
 
     log(f"devices: {jax.devices()}")
+    _start_watchdog()
+    out = OUT
     b = build()
 
     # ---- MANDATORY core (kept minimal: r3 blew the whole budget on
     # ungated mandatory rows and every optional row was skipped; the
     # scan + host-loop rows are the only unconditional ones) ----
     hz = bench_scan(b, "f32")
+    out["value"] = round(hz, 2)
+    out["vs_baseline"] = round(hz / BASELINE_HZ, 3)
 
     host_hz, host_tel = bench_host_loop(b)
+    out["tracking_hz_host_loop"] = round(host_hz, 2)
+    out["host_loop_vs_baseline"] = round(host_hz / BASELINE_HZ, 3)
     host_hz_moving = 0.0
     if time_left() > 60:
         try:
@@ -736,21 +786,15 @@ def main():
         f"{achieved / 1e12:.3f} TFLOP/s = {mfu:.2f}% of v5e bf16 peak "
         f"(latency-bound tracker: batch-1 CNN + VPU-bound raster)")
 
-    out = {
-        "metric": "tracking_hz_single_object",
-        "value": round(hz, 2),
-        "unit": "Hz",
-        "vs_baseline": round(hz / BASELINE_HZ, 3),
+    out.update({
         "flagship_mesh_faces": 2048,
         "tracking_hz_decimated_2k": round(hz, 2),  # == flagship (prod cfg)
-        "tracking_hz_host_loop": round(host_hz, 2),
         "tracking_hz_host_loop_moving": round(host_hz_moving, 2),
-        "host_loop_vs_baseline": round(host_hz / BASELINE_HZ, 3),
         "step_gflops": round(flops / 1e9, 3),
         "achieved_tflops": round(achieved / 1e12, 4),
         "mfu_pct_bf16_peak": round(mfu, 3),
         **{f"host_loop_{k}": v for k, v in host_tel.items()},
-    }
+    })
 
     # ---- Optional rows, priority-ordered: the features whose flagship
     # evidence must live in the record come FIRST (train, train-synth,
