@@ -339,12 +339,21 @@ def long_horizon_eval(obj, gt, frames_rgb, frames_depth, K, *,
         "add_mean_mm": float(add.mean() * 1000),
     }
     if fail_at is not None:
-        post_fire = [f for f in fires if f >= fail_at]
         recov = [r for r in reinits if r >= fail_end]
         out["fail_at"] = int(fail_at)
         out["fail_len"] = int(fail_end - fail_at)
+        # Detection latency = frames from failure onset to the policy
+        # fire that TRIGGERED the recovery reinit (the last fire at or
+        # before the recovery frame) — NOT the first fire anywhere after
+        # onset: an organically unstable object can have a fire pending
+        # from just before the burst (the fire straddles onset via the
+        # patience window), in which case the burst was detected
+        # immediately (latency 0), and any later fire is an unrelated
+        # organic reinit that would fake a huge latency.
+        trigger = ([f for f in fires if recov and f <= recov[0]] or [None])
         out["detection_latency"] = (
-            int(post_fire[0] - fail_at + 1) if post_fire else None)
+            max(0, int(trigger[-1]) - int(fail_at) + 1)
+            if recov and trigger[-1] is not None else None)
         out["recovered_at"] = int(recov[0]) if recov else None
         if recov:
             # errors are indexed over gt (frame 0 = init): tracked frame
