@@ -133,7 +133,17 @@ def build(res=176):
         f"cull={cull}; production-decimated from {tm_full.num_faces})")
 
     model = tracknet.Se3TrackNet(image_size=res)
-    variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
+    # Init on the LOCAL CPU backend: flax init is a handful of small
+    # programs, but on the axon tunnel every compile rides the remote
+    # compile service (measured 30-50s for init alone on a congested
+    # hour). The weights transfer to the TPU at the first jit call.
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu0):
+            variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
+        variables = jax.tree.map(np.asarray, variables)
+    except Exception:
+        variables = tracknet.init_variables(model, jax.random.PRNGKey(0))
     # Zero the regression heads: random weights make the pose drift
     # systematically off the (static) synthetic object, changing the
     # stream tracker's window bucket mid-run and inserting XLA recompiles
@@ -153,22 +163,35 @@ def build(res=176):
         resolution=res, object_width_mm=tm.diameter * 1000 * 1.1,
         render_impl=_RENDER_IMPL, cull_backfaces=cull,
     )
-    K = jnp.array(
+    # Host numpy for the small constants: they enter as jit args anyway,
+    # and building them with jnp would run trivial programs through the
+    # tunnel before the first real row.
+    K = np.array(
         [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]],
-        jnp.float32,
+        np.float32,
     )
-    mean = jnp.zeros(8)
-    std = jnp.full(8, 100.0)
+    mean = np.zeros(8, np.float32)
+    std = np.full(8, 100.0, np.float32)
 
-    # Synthetic observed video: the object rendered full-frame at a fixed
-    # pose (contents don't affect timing; shapes/dtypes match deployment:
-    # uint8 RGB + uint16 depth, like a real camera).
-    pose = jnp.eye(4).at[2, 3].set(0.6)
-    rgb_f, depth_f = rz.render(
-        mesh, pose, K, rz.full_frame_window(640, 480), out_hw=(480, 640)
-    )
-    rgb_u8 = np.asarray(rgb_f).astype(np.uint8)
-    depth_u16 = np.asarray(depth_f).astype(np.uint16)
+    # Synthetic observed video, synthesized on the HOST: a gray disk of
+    # valid depth where the object projects. Frame contents don't affect
+    # timing (the zero-head tracker holds its pose regardless), and the
+    # full-frame rasterizer program this used to run cost the build 1-2
+    # minutes of remote-compile/executable-load tunnel traffic on a
+    # congested hour — pure overhead for rows that never measure it.
+    # Shapes/dtypes match deployment: uint8 RGB + uint16 depth (mm).
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 0.6
+    Kn = np.asarray(K)
+    vv, uu = np.mgrid[:480, :640].astype(np.float32)
+    cu = Kn[0, 2] + Kn[0, 0] * pose[0, 3] / pose[2, 3]
+    cv = Kn[1, 2] + Kn[1, 1] * pose[1, 3] / pose[2, 3]
+    rad_px = float(tm.diameter) / 2 * Kn[0, 0] / pose[2, 3]
+    disk = ((uu - cu) ** 2 + (vv - cv) ** 2) < rad_px**2
+    rgb_u8 = np.zeros((480, 640, 3), np.uint8)
+    rgb_u8[..., 0] = (uu / 640 * 80).astype(np.uint8)  # background gradient
+    rgb_u8[disk] = 128
+    depth_u16 = np.where(disk, np.uint16(600), np.uint16(0))
     return types.SimpleNamespace(
         model=model, variables=variables, cfg=cfg, K=K, mean=mean, std=std,
         mesh=mesh, pose=pose, rgb_u8=rgb_u8, depth_u16=depth_u16,
@@ -665,6 +688,37 @@ def bench_train(b, batch=200, iters=10, res=176, dtype=None):
     return sps, flops, batch
 
 
+def device_probe():
+    """Fixed-work device-compute microprobe: best-of-8 wall of a jitted
+    8-matmul bf16 chain (137 GFLOP at 2048^2). The shared-tunnel TPU's
+    effective compute rate swings >10x hour to hour (measured 727 Hz ->
+    55 Hz on the SAME scan program 30 min apart, same cache, same code);
+    recording the probe beside every run makes a degraded-device sample
+    distinguishable from a code regression in the record."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x):
+        return functools.reduce(lambda a, _: a @ a, range(8), x)
+
+    x = jnp.full((2048, 2048), 1e-3, jnp.bfloat16)
+    np.asarray(chain(x))
+    best = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        np.asarray(chain(x))
+        best = min(best, time.perf_counter() - t0)
+    gf = 8 * 2 * 2048**3 / 1e9
+    tf = gf / best / 1e3
+    log(f"device probe: {best * 1e3:.2f} ms for {gf:.0f} GF chain = "
+        f"{tf:.1f} TFLOP/s effective ({tf / 197 * 100:.0f}% of v5e peak; "
+        f"<30% means the shared device is degraded/contended this hour)")
+    return round(best * 1e3, 2), round(tf, 1)
+
+
 def step_flops(b):
     """FLOPs of one compiled track_step from XLA cost analysis."""
     import jax
@@ -759,6 +813,13 @@ def main():
     # ---- MANDATORY core (kept minimal: r3 blew the whole budget on
     # ungated mandatory rows and every optional row was skipped; the
     # scan + host-loop rows are the only unconditional ones) ----
+    try:
+        probe_ms, probe_tf = device_probe()
+        out["device_probe_ms"] = probe_ms
+        out["device_probe_tflops"] = probe_tf
+    except Exception as e:
+        log(f"device probe failed (non-fatal): {e}")
+
     hz = bench_scan(b, "f32")
     out["value"] = round(hz, 2)
     out["vs_baseline"] = round(hz / BASELINE_HZ, 3)
