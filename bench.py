@@ -935,7 +935,10 @@ def main():
     # congested day's budget, and first_call_warm_s is a required row
     # (VERDICT r3 #1); the probe's own subprocess is capped at 180s so
     # a bad day costs bounded time.
-    gated("warm-probe", 150, _warm)
+    # est dropped 150 -> 100 with the tunnel-free build(): the probe
+    # subprocess is now ~(build 14s + cached stream compile replay +
+    # one push), not ~3 min of remote-compile traffic.
+    gated("warm-probe", 100, _warm)
 
     def _chunked():
         out["tracking_hz_chunked"] = round(bench_chunked(b, T=500), 1)
