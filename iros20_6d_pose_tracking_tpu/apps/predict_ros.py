@@ -30,7 +30,8 @@ class TrackerRosCore:
     """
 
     def __init__(self, tracker, fill_depth_holes: bool = True,
-                 use_stream: bool = True):
+                 use_stream: bool = True, samples: int = 1,
+                 on_track_lost=None):
         from ..ops import depthproc
 
         self.tracker = tracker
@@ -43,9 +44,24 @@ class TrackerRosCore:
         if use_stream:
             from ..tracking.stream import StreamTracker
 
+            # samples >= 2 turns on per-frame health scoring AND the
+            # closed failure loop: the ReinitPolicy watches the
+            # depth-agreement score on the stream's background thread,
+            # and on_track_lost(frame_idx, score) — e.g. a call to an
+            # external detector — may return a fresh 4x4 pose that the
+            # next update applies. This is the live analog of the
+            # reference's manual --reinit_frames (predict.py:539-541).
+            policy = None
+            if samples > 1:
+                from ..tracking.hypotheses import ReinitPolicy
+
+                policy = ReinitPolicy(patience=2)  # snapshots, not frames
             # keep_history=False: a robot session is unbounded; retaining
             # one device pose per frame would leak buffers.
-            self.stream = StreamTracker(tracker, keep_history=False)
+            self.stream = StreamTracker(tracker, keep_history=False,
+                                        samples=samples,
+                                        reinit_policy=policy,
+                                        on_track_lost=on_track_lost)
 
     def grab_color(self, rgb: np.ndarray):
         self.color = np.asarray(rgb)

@@ -94,8 +94,29 @@ class StreamTracker:
                  margin: float | None = None,
                  refetch_every: int = 8, pose_lag: int | None = None,
                  keep_history: bool = True, samples: int = 1,
-                 base_pad_px: float = 24.0):
+                 base_pad_px: float = 24.0,
+                 reinit_policy=None, on_track_lost=None):
         self.t = tracker
+        # Closed-loop failure handling for LIVE consumers (the eval-side
+        # analog is domain_shift.long_horizon_eval): ``reinit_policy``
+        # (a hypotheses.ReinitPolicy) is fed the depth-agreement health
+        # score on the BACKGROUND fetch thread — the push path never
+        # blocks — so the policy sees one sample per center refetch,
+        # not per frame: patience counts snapshots, and detection
+        # latency is ~patience * refetch_every frames. When it fires,
+        # ``on_track_lost(frame_idx, score)`` runs on the fetch thread
+        # (keep it cheap); if it returns a 4x4 pose (an external
+        # re-detection), the next push() applies it via set_pose().
+        # Requires samples > 1 (the health score comes from the
+        # multi-hypothesis step).
+        if reinit_policy is not None and samples < 2:
+            raise ValueError("reinit_policy needs samples >= 2 "
+                             "(health score comes from the "
+                             "multi-hypothesis step)")
+        self.reinit_policy = reinit_policy
+        self.on_track_lost = on_track_lost
+        self.track_lost_events = 0
+        self._pending_reinit = None       # (gen, 4x4 pose) from callback
         self.window = window
         # margin=None (default): velocity-adaptive pad sizing (see module
         # docstring). A float pins the legacy multiplicative sizing
@@ -198,6 +219,7 @@ class StreamTracker:
         self._scores = []
         self._gen += 1          # poison in-flight pre-begin fetches
         self._pending_center = None
+        self._pending_reinit = None
         self._frame_idx = 0
         self._center_frame = 0
         self._hw = image_hw
@@ -295,6 +317,8 @@ class StreamTracker:
             # about to record; idx-1's rect is the newest already recorded
             rect = self._rect_hist.get(idx - 1)
 
+            score_dev = self._scores[-1] if self._scores else None
+
             def work():
                 try:
                     vu_side = self._host_bbox(np.asarray(dev))
@@ -307,6 +331,17 @@ class StreamTracker:
                         self.containment_violations += 1
                         self._pad_boost += 16.0
                     self._pending_center = (gen, idx, vu_side)
+                    if self.reinit_policy is not None and score_dev is not None:
+                        sc = float(np.asarray(score_dev))
+                        if self.reinit_policy.update(sc):
+                            self.reinit_policy.bad_streak = 0
+                            self.track_lost_events += 1
+                            new = None
+                            if self.on_track_lost is not None:
+                                new = self.on_track_lost(idx, sc)
+                            if new is not None:
+                                self._pending_reinit = (
+                                    gen, np.asarray(new, np.float32))
                 finally:
                     self._fetch_busy = False
 
@@ -336,6 +371,7 @@ class StreamTracker:
             "refetches": self.refetches,
             "bucket": self._cur_bucket,
             "compiled_programs": len(self._step_cache),
+            "track_lost_events": self.track_lost_events,
         }
 
     def _predicted_center(self):
@@ -369,6 +405,12 @@ class StreamTracker:
         """Dispatch one tracking update. Never blocks on the device."""
         if self._hw is None:
             self._hw = rgb_u8.shape[:2]
+        pending = self._pending_reinit
+        if pending is not None:
+            self._pending_reinit = None
+            rgen, rpose = pending
+            if rgen == self._gen:  # not already superseded by set_pose()
+                self.set_pose(rpose)
         multi = self.samples > 1
         idx = (np.int32(self._frame_idx),) if multi else ()
         if not self.window:

@@ -329,3 +329,51 @@ def test_track_video_multi_scan_runs():
     assert poses.shape == (4, 4, 4) and np.isfinite(np.asarray(poses)).all()
     assert scores.shape == (4,)
     assert float(scores[0]) > 0.5  # true pose on a clean scene
+
+
+def test_stream_closed_loop_reinit():
+    """samples>=2 + ReinitPolicy close the failure loop LIVE: black
+    frames collapse the depth-agreement health, the policy fires on the
+    background fetch thread, on_track_lost's returned pose is applied by
+    the next push (the live analog of eval's long_horizon_eval loop)."""
+    import time
+
+    from iros20_6d_pose_tracking_tpu.tracking.hypotheses import ReinitPolicy
+
+    t = _tracker(head_scale=0.0)
+    pose0 = np.eye(4, dtype=np.float32)
+    pose0[2, 3] = 0.5
+    rgb, depth = _video(t, pose0, 1)
+    calls = []
+
+    def on_lost(idx, score):
+        calls.append((idx, score))
+        return pose0  # external re-detection
+
+    s = st.StreamTracker(t, window=True, samples=2, refetch_every=1,
+                         reinit_policy=ReinitPolicy(patience=2),
+                         on_track_lost=on_lost)
+    s.begin(pose0, image_hw=(H, W))
+    for _ in range(3):  # healthy warmup: policy must NOT fire
+        s.push(rgb[0], depth[0])
+        _ = s.current_pose()
+        time.sleep(0.05)  # let the background fetch consume the score
+    assert s.track_lost_events == 0
+
+    black_rgb = np.zeros_like(rgb[0])
+    black_dep = np.zeros_like(depth[0])
+    gen_before = s._gen
+    for _ in range(20):  # blackout: health ~0 -> policy fires
+        s.push(black_rgb, black_dep)
+        _ = s.current_pose()
+        time.sleep(0.05)
+        if s.track_lost_events and s._gen > gen_before:
+            break
+    assert s.track_lost_events >= 1
+    assert calls and calls[0][1] < 0.3  # fired on a collapsed score
+    assert s._gen > gen_before          # returned pose applied (set_pose)
+    assert s.stats()["track_lost_events"] == s.track_lost_events
+
+    # samples=1 cannot provide a health score: constructor refuses
+    with pytest.raises(ValueError):
+        st.StreamTracker(t, samples=1, reinit_policy=ReinitPolicy())
