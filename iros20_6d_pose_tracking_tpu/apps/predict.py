@@ -106,7 +106,7 @@ def _make_tracker(dataset_info, mean, std, args, trans_normalizer=0.03,
 
 
 def _track_files(tracker, rgb_files, depth_files, init_pose, args,
-                 start=0, reinit=None):
+                 start=0, reinit=None, redetect=None):
     """Track a file sequence; returns (N, 4, 4) poses including the init.
 
     scan: chunked streaming scan, segmented at re-init frames (each
@@ -145,9 +145,38 @@ def _track_files(tracker, rgb_files, depth_files, init_pose, args,
 
         from ..tracking.stream import StreamTracker
 
+        samples = getattr(args, "samples", 1)
+        policy = on_lost = None
+        if getattr(args, "auto_reinit", False) and redetect is not None:
+            # ADAPTIVE re-init: the reference re-inits at FIXED frames
+            # (--reinit_frames, predict.py:539-541); here the health
+            # policy decides WHEN and the PoseCNN results provide the
+            # pose — same external-detector contract, closed live.
+            from ..tracking.hypotheses import ReinitPolicy
+
+            if samples < 2:
+                print("auto_reinit: raising --samples to 2 "
+                      "(health score needs the multi-hypothesis step)")
+                samples = 2
+            policy = ReinitPolicy(patience=2)
+            a0_box = start + 1
+
+            def on_lost(idx, score):
+                file_idx = a0_box + idx
+                try:
+                    p = redetect(file_idx)
+                except Exception as e:
+                    print(f"auto_reinit: no re-detection near frame "
+                          f"{file_idx} ({e})")
+                    return None
+                print(f"auto_reinit fired at frame {file_idx} "
+                      f"(health {score:.3f})")
+                return p
+
         s = StreamTracker(tracker,
                           window=not getattr(args, "no_window", False),
-                          samples=getattr(args, "samples", 1))
+                          samples=samples,
+                          reinit_policy=policy, on_track_lost=on_lost)
         s.begin(init_pose)
         # Chunked background decode: the next chunk's PNGs decode (C++
         # thread pool when built) while the current chunk's frames push
@@ -285,8 +314,9 @@ def predict_sequence_ycb(args, dataset_info, mean, std):
             seq, frame = sf.split("/")
             reinit[int(frame) - 1] = _posecnn_pose(args, int(seq), int(frame))
 
-    pred_poses = _track_files(tracker, rgb_files, depth_files, init_pose,
-                              args, reinit=reinit)
+    pred_poses = _track_files(
+        tracker, rgb_files, depth_files, init_pose, args, reinit=reinit,
+        redetect=lambda i: _posecnn_pose(args, args.seq_id, i + 1))
     _write_visuals(tracker, rgb_files, depth_files, pred_poses, args)
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -460,6 +490,13 @@ def build_parser():
                              "is kept (the reference scaffolds this arg "
                              "but evaluates only hypothesis 0, reference "
                              "predict.py:229-231)")
+    parser.add_argument("--auto_reinit", action="store_true",
+                        help="stream mode, ycbv only: let the depth-"
+                             "agreement health policy decide WHEN to "
+                             "re-init and pull the pose from the PoseCNN "
+                             "results (the reference's --reinit_frames "
+                             "picks the frames by hand); implies "
+                             "--samples >= 2")
     parser.add_argument("--viz_dir", type=str, default=None,
                         help="save projected-point overlays here")
     parser.add_argument("--save_video", action="store_true",

@@ -292,3 +292,63 @@ def test_poserbpf_init_pose(fixture_root):
     pose = predict._poserbpf_pose(args, 4, 48)
     np.testing.assert_allclose(pose[:3, 3], [0.05, -0.03, 0.7])
     np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=1e-9)
+
+
+def test_track_files_auto_reinit_wiring(fixture_root, monkeypatch):
+    """--auto_reinit wires a ReinitPolicy + redetect-backed on_track_lost
+    into the stream path (and bumps samples to >=2). The fire->reapply
+    behavior itself is driven in tests/test_stream.py; this pins the CLI
+    plumbing: policy present, callback resolves poses through redetect
+    with 1-based frame numbering, and redetect failures return None."""
+    from iros20_6d_pose_tracking_tpu.apps import predict
+    from iros20_6d_pose_tracking_tpu.tracking import stream as st_mod
+
+    captured = {}
+
+    class FakeStream:
+        def __init__(self, tracker, **kw):
+            captured.update(kw)
+
+        def begin(self, pose, image_hw=None):
+            return self
+
+        def push(self, rgb, depth):
+            pass
+
+        def poses(self):
+            return np.zeros((3, 4, 4), np.float32)
+
+    monkeypatch.setattr(st_mod, "StreamTracker", FakeStream)
+    args = argparse.Namespace(track_mode="stream", samples=1,
+                              auto_reinit=True, no_window=False)
+    files = [str(fixture_root / "0048" / "color" / f"{i:06d}.png")
+             for i in range(4)]
+    dfiles = [str(fixture_root / "0048" / "depth_filled" / f"{i:06d}.png")
+              for i in range(4)]
+    seen = []
+
+    def redetect(file_idx):
+        seen.append(file_idx)
+        if file_idx >= 3:
+            raise RuntimeError("no keyframe near")
+        p = np.eye(4, dtype=np.float32)
+        p[2, 3] = 0.6
+        return p
+
+    out = predict._track_files(None, files, dfiles,
+                               np.eye(4, dtype=np.float32), args,
+                               redetect=redetect)
+    assert out.shape == (4, 4, 4)
+    assert captured["samples"] == 2          # bumped for health scoring
+    assert captured["reinit_policy"] is not None
+    cb = captured["on_track_lost"]
+    pose = cb(1, 0.05)                       # stream idx 1 -> file 2
+    assert seen == [2] and pose[2, 3] == 0.6
+    assert cb(2, 0.05) is None               # redetect raised -> None
+    # without the flag: no policy, samples untouched
+    captured.clear()
+    args2 = argparse.Namespace(track_mode="stream", samples=1,
+                               auto_reinit=False, no_window=False)
+    predict._track_files(None, files, dfiles, np.eye(4, dtype=np.float32),
+                         args2, redetect=redetect)
+    assert captured["reinit_policy"] is None and captured["samples"] == 1
