@@ -240,3 +240,32 @@ def test_learns_to_refine(synth):
     # reduction-order drift without hiding a real training regression
     assert err_after.mean() < 0.60 * err_before.mean(), (
         err_before.mean(), err_after.mean())
+
+
+def test_bf16_train_step_descends_with_f32_state(synth):
+    """--bf16 training (bf16 activations, f32 params/Adam state): loss
+    descends, params/batch_stats stay f32 (the mixed-precision contract
+    apps/train.py:147-149 relies on), and metrics are finite."""
+    import jax.numpy as jnp
+
+    cfg = _quick_cfg(learning_rate=3e-4)
+    model = tracknet.Se3TrackNet(image_size=RES, dtype=jnp.bfloat16)
+    tx, _ = tr.make_optimizer(cfg, steps_per_epoch=10)
+    state = tr.create_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.params))
+
+    key = jax.random.PRNGKey(11)
+    losses = []
+    for i in range(12):
+        raw = synth.sample_batch(jax.random.fold_in(key, i), cfg.batch_size)
+        state, m = tr.train_step(model, tx, cfg, state,
+                                 jax.random.fold_in(key, 10**6 + i), raw,
+                                 np.zeros(8), np.full(8, 100.0))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.params))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.batch_stats))
