@@ -702,7 +702,13 @@ def device_probe():
 
     @jax.jit
     def chain(x):
-        return functools.reduce(lambda a, _: a @ a, range(8), x)
+        # scale each product back down so the chain neither overflows
+        # nor collapses; return a SCALAR so the timing is dispatch +
+        # compute + one tiny D2H, not an 8 MB result transfer (the
+        # first probe version fetched the matrix and measured the
+        # tunnel's D2H rate instead of the MXU).
+        out = functools.reduce(lambda a, _: (a @ a) * 5e-4, range(8), x)
+        return out[0, 0].astype(jnp.float32)
 
     x = jnp.full((2048, 2048), 1e-3, jnp.bfloat16)
     np.asarray(chain(x))
