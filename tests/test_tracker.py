@@ -141,3 +141,38 @@ def test_tracker_class_api():
     out = t.on_track(pose, np.array(rgb), np.array(depth))
     assert out.shape == (4, 4)
     assert abs(out[2, 3] - 0.5) < t.cfg.trans_normalizer + 1e-6
+
+
+def test_bf16_step_matches_f32():
+    """--bf16 inference: the bf16-activation model's single-step pose
+    update agrees with f32 to sub-mm / sub-millidegree on the same f32
+    weights, and a short bf16 trajectory stays glued to the f32 one —
+    the accuracy side of the bench's tracking_hz_bf16 row."""
+    model32, cfg, variables, mesh, mean, std = _setup()
+    model16 = tracknet.Se3TrackNet(image_size=RES, dtype=jnp.bfloat16)
+    cfg16 = trk.TrackerConfig(resolution=RES, object_width_mm=110.0,
+                              dtype=jnp.bfloat16)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.01, -0.005, 0.5]
+    rgb, depth = _frame(mesh, pose)
+    p32, _ = trk.track_step(model32, cfg, variables, mesh, jnp.array(K),
+                            mean, std, jnp.array(pose), rgb, depth)
+    p16, _ = trk.track_step(model16, cfg16, variables, mesh, jnp.array(K),
+                            mean, std, jnp.array(pose), rgb, depth)
+    p32, p16 = np.asarray(p32), np.asarray(p16)
+    assert np.linalg.norm(p16[:3, 3] - p32[:3, 3]) < 1e-3      # < 1 mm
+    assert np.abs(p16[:3, :3] - p32[:3, :3]).max() < 5e-3      # ~0.3 deg
+
+    T = 8
+    frames_rgb = jnp.broadcast_to(rgb, (T,) + rgb.shape)
+    frames_dep = jnp.broadcast_to(depth, (T,) + depth.shape)
+    tr32 = np.asarray(trk.track_video(model32, cfg, variables, mesh,
+                                      jnp.array(K), mean, std,
+                                      jnp.array(pose), frames_rgb,
+                                      frames_dep))
+    tr16 = np.asarray(trk.track_video(model16, cfg16, variables, mesh,
+                                      jnp.array(K), mean, std,
+                                      jnp.array(pose), frames_rgb,
+                                      frames_dep))
+    assert np.isfinite(tr16).all()
+    assert np.linalg.norm(tr16[-1][:3, 3] - tr32[-1][:3, 3]) < 5e-3
