@@ -64,6 +64,11 @@ def main():
                         "full-occlusion burst: detection latency + "
                         "post-recovery AUC (needs --long_horizon)")
     p.add_argument("--out", default="benchmarks/accuracy_suite_results.json")
+    p.add_argument("--stall_timeout_s", type=float, default=2700.0,
+                   help="exit 3 if no progress line for this long (lost "
+                        "tunnel RPC); rerun resumes from checkpoints. "
+                        "Generous because a degraded-device eval phase "
+                        "can legitimately go ~30 min between lines.")
     args = p.parse_args()
 
     from iros20_6d_pose_tracking_tpu.eval import synthetic_benchmark as SB
@@ -74,7 +79,34 @@ def main():
         with open(args.out + ".partial", "w") as f:
             json.dump(partial, f, indent=2)
 
+    import threading
     import time as _time
+
+    # Stall watchdog: the axon tunnel loses in-flight RPCs (a 2026-08-19
+    # run froze in futex_wait for 4 h mid-training with the device
+    # healthy for new processes; no Python exception ever fires). Every
+    # progress line refreshes a timestamp; if nothing logs for
+    # --stall_timeout_s the process exits 3 with a clear message — a
+    # rerun with the same --ensemble_ckpt_dir resumes from the last
+    # checkpoint, so the restart costs at most ckpt_every steps.
+    last = [_time.time()]
+
+    def log(*a):
+        last[0] = _time.time()
+        print(*a, flush=True)
+
+    def watchdog():
+        while True:
+            _time.sleep(30)
+            idle = _time.time() - last[0]
+            if idle > args.stall_timeout_s:
+                print(f"WATCHDOG: no progress for {idle:.0f}s "
+                      f"(> --stall_timeout_s {args.stall_timeout_s}) — "
+                      f"likely a lost tunnel RPC; exiting. Rerun with the "
+                      f"same --ensemble_ckpt_dir to resume.", flush=True)
+                os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     t0 = _time.time()
     results = SB.run_suite(
@@ -88,6 +120,7 @@ def main():
                           if s),
         sweep_objects=tuple(args.sweep_objects.split(",")),
         recovery_objects=tuple(s for s in args.recovery.split(",") if s),
+        log=log,
     )
     # mean AUCs over ASYMMETRIC objects (ADD well-posed); symmetric rows
     # are scored by ADD-S and reported separately
