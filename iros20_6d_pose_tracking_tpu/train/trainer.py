@@ -200,6 +200,7 @@ def compute_mean_std(
     zero_mean = jnp.zeros(8)
     one_std = jnp.ones(8)
     batch_means = []
+    batch_stds = []
     seen = 0
     for raw in batches:
         key, sub = jax.random.split(key)
@@ -208,11 +209,21 @@ def compute_mean_std(
         )
         stacked = jnp.concatenate([bufA, bufB], axis=-1)  # (N,H,W,8)
         batch_means.append(np.asarray(jnp.mean(stacked, axis=(0, 1, 2))))
+        batch_stds.append(np.asarray(jnp.std(stacked, axis=(0, 1, 2))))
         seen += int(stacked.shape[0])
         if seen >= max_samples:
             break
     arr = np.stack(batch_means)
-    return arr.mean(axis=0), arr.std(axis=0)
+    std = arr.std(axis=0)
+    # The reference statistic degenerates when only ONE batch fits in
+    # max_samples (std over a single batch mean is 0) or when a channel's
+    # batch means are constant — a zero std then NaNs every normalized
+    # sample downstream. Fall back to the per-sample std for such
+    # channels (floored: a truly constant channel must still divide
+    # cleanly). Multi-batch statistics are unchanged.
+    fallback = np.maximum(np.stack(batch_stds).mean(axis=0), 1e-3)
+    std = np.where(std < 1e-6, fallback, std)
+    return arr.mean(axis=0), std
 
 
 class Trainer:

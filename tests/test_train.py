@@ -133,6 +133,19 @@ def test_lr_schedule_multistep():
     assert np.isclose(float(sched(45)), 1e-5)
 
 
+def test_mean_std_single_batch_not_degenerate(synth):
+    # With only ONE batch inside max_samples, the reference's
+    # std-of-batch-means statistic is identically 0 — which would NaN
+    # every normalized sample downstream (train.py:121-122 quirk taken
+    # literally). The guard substitutes the per-sample std.
+    cfg = _quick_cfg()
+    raws = [synth.sample_batch(jax.random.PRNGKey(0), 8)]
+    mean, std = tr.compute_mean_std(iter(raws), cfg, max_samples=8)
+    assert std.shape == (8,)
+    assert (std > 0).all()
+    assert np.isfinite(std).all() and np.isfinite(mean).all()
+
+
 @pytest.mark.slow
 def test_mean_std_quirk(synth):
     cfg = _quick_cfg()
