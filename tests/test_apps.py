@@ -352,3 +352,30 @@ def test_track_files_auto_reinit_wiring(fixture_root, monkeypatch):
     predict._track_files(None, files, dfiles, np.eye(4, dtype=np.float32),
                          args2, redetect=redetect)
     assert captured["reinit_policy"] is None and captured["samples"] == 1
+
+
+def test_make_ycb_fixture_tree(tmp_path):
+    """The committed fixture generator writes the exact tree the predict
+    CLI consumes (examples/make_ycb_fixture.py — the verify recipe)."""
+    import runpy
+    import sys
+
+    root = tmp_path / "fix"
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "examples", "make_ycb_fixture.py")
+    argv = sys.argv
+    try:
+        sys.argv = [script, "--root", str(root), "--frames", "2"]
+        runpy.run_path(script, run_name="__main__")
+    finally:
+        sys.argv = argv
+    for rel in ("object.obj", "dataset_info.yml", "mean.npy", "std.npy",
+                "0048/color/000001.png", "0048/depth_filled/000001.png",
+                "0048/pose_gt/4/000001.txt", "train_data"):
+        assert (root / rel).exists(), rel
+    from PIL import Image
+
+    depth = np.asarray(Image.open(root / "0048/depth_filled/000000.png"))
+    assert depth.dtype == np.uint16 and (depth > 0).any()
+    pose = np.loadtxt(root / "0048/pose_gt/4/000000.txt")
+    assert pose.shape == (4, 4) and np.isclose(pose[2, 3], 0.5)
