@@ -181,7 +181,7 @@ def track_video_multi(
         )
         return (new_pose, k), (new_pose, score)
 
-    (_, _), (poses, scores) = jax.lax.scan(
+    (_, _), (poses, scores) = trk.frame_scan(
         step, (init_pose, key), (frames_rgb, frames_depth_mm)
     )
     return poses, scores
@@ -232,7 +232,7 @@ def track_video_with_health(
         score = depth_agreement(mesh, new_pose, K, depth, cfg)
         return new_pose, (new_pose, score)
 
-    _, (poses, scores) = jax.lax.scan(
+    _, (poses, scores) = trk.frame_scan(
         step, init_pose, (frames_rgb, frames_depth_mm)
     )
     return poses, scores

@@ -176,3 +176,57 @@ def test_bf16_step_matches_f32():
                                       frames_dep))
     assert np.isfinite(tr16).all()
     assert np.linalg.norm(tr16[-1][:3, 3] - tr32[-1][:3, 3]) < 5e-3
+
+
+def test_frame_scan_matches_flat_scan():
+    """frame_scan (nested scan — shared-device contention immunity) is
+    BITWISE-equal to a flat lax.scan: same carries, same stacked outputs,
+    for multi-leaf xs/ys pytrees and non-trivial dtypes."""
+    def step(carry, x):
+        a, b = x
+        new = carry * 0.9 + jnp.sum(a) * 1e-3 - jnp.mean(b)
+        return new, (new, carry)
+
+    T = 7
+    key = jax.random.PRNGKey(0)
+    xs = (jax.random.normal(key, (T, 3, 4)),
+          jax.random.uniform(jax.random.fold_in(key, 1), (T, 5)))
+    init = jnp.float32(1.5)
+    c_flat, y_flat = jax.lax.scan(step, init, xs)
+    c_nest, y_nest = trk.frame_scan(step, init, xs)
+    assert np.asarray(c_flat) == np.asarray(c_nest)
+    for yf, yn in zip(y_flat, y_nest):
+        assert yf.shape == yn.shape
+        np.testing.assert_array_equal(np.asarray(yf), np.asarray(yn))
+
+    # and through the real tracker program: track_video output poses are
+    # identical to a flat-scan reimplementation of the same step
+    model, cfg, variables, mesh, mean, std = _setup()
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.01, -0.005, 0.5]
+    rgb, depth = _frame(mesh, pose)
+    Tv = 5
+    frames_rgb = jnp.broadcast_to(rgb, (Tv,) + rgb.shape)
+    frames_dep = jnp.broadcast_to(depth, (Tv,) + depth.shape)
+
+    def flat_step(p, frame):
+        r, d = frame
+        np_, _ = trk.track_step(model, cfg, variables, mesh, jnp.array(K),
+                                mean, std, p, r, d)
+        return np_, np_
+
+    @jax.jit
+    def flat_video(p0, fr, fd):
+        _, poses = jax.lax.scan(flat_step, p0, (fr, fd))
+        return poses
+
+    got = np.asarray(trk.track_video(model, cfg, variables, mesh,
+                                     jnp.array(K), mean, std,
+                                     jnp.array(pose), frames_rgb,
+                                     frames_dep))
+    want = np.asarray(flat_video(jnp.array(pose), frames_rgb, frames_dep))
+    # the scan TRANSFORM is exact (above); the full compiled program may
+    # fuse differently between the two loop structures, so the whole-
+    # trajectory comparison allows float-ulp accumulation (measured 0.0
+    # on the TPU bench program, ~1e-6 on CPU)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
