@@ -63,6 +63,17 @@ def main():
                         "long-horizon protocol with a FORCED 15-frame "
                         "full-occlusion burst: detection latency + "
                         "post-recovery AUC (needs --long_horizon)")
+    p.add_argument("--live_recovery", default="",
+                   help="comma-separated objects that run the forced "
+                        "burst through the LIVE path (StreamTracker + "
+                        "background-fetch ReinitPolicy + on_track_lost) "
+                        "— latency quantized by patience x refetch_every "
+                        "(needs --long_horizon)")
+    p.add_argument("--ablation", default="",
+                   help="comma-separated objects that run the x2 "
+                        "single-axis domain-shift ablation (which axis "
+                        "— lighting/photometric/blur/depth/init — kills "
+                        "tracking)")
     p.add_argument("--out", default="benchmarks/accuracy_suite_results.json")
     p.add_argument("--stall_timeout_s", type=float, default=2700.0,
                    help="exit 3 if no progress line for this long (lost "
@@ -120,6 +131,9 @@ def main():
                           if s),
         sweep_objects=tuple(args.sweep_objects.split(",")),
         recovery_objects=tuple(s for s in args.recovery.split(",") if s),
+        live_recovery_objects=tuple(
+            s for s in args.live_recovery.split(",") if s),
+        ablation_objects=tuple(s for s in args.ablation.split(",") if s),
         log=log,
     )
     # mean AUCs over ASYMMETRIC objects (ADD well-posed); symmetric rows
@@ -188,11 +202,27 @@ def main():
                   f"(whole-run {rc['add_auc']:.2f}), reinits "
                   f"{rc['reinit_frames']}")
     for r in results:
+        lv = r.get("live_recovery")
+        if lv:
+            print(f"\nLIVE recovery [{r['name']}]: burst @{lv['fail_at']}"
+                  f"+{lv['fail_len']} -> detected in "
+                  f"{lv['detection_latency']} frames (policy sees 1 "
+                  f"health sample per {lv['refetch_every']}-frame "
+                  f"refetch, patience {lv['patience']}), reinit applied "
+                  f"at {lv['reinit_applied_at']}, post-recovery ADD AUC "
+                  f"{lv.get('post_recovery_add_auc', float('nan')):.2f}")
+    for r in results:
         sw = r.get("shift_sweep")
         if sw:
             pts = ", ".join(f"x{p['severity']}={p['add_auc']:.1f}"
                             for p in sw)
             print(f"shift sweep [{r['name']}] ADD AUC: {pts}")
+    for r in results:
+        ab = r.get("shift_ablation")
+        if ab:
+            pts = ", ".join(f"{p['axis']}={p['add_auc']:.1f}"
+                            for p in ab)
+            print(f"shift ablation x2 [{r['name']}] ADD AUC: {pts}")
     print(f"\nwrote {args.out} ({payload['suite_wall_secs']:.0f}s)")
 
 

@@ -52,6 +52,17 @@ class TrackerRosCore:
             # next update applies. This is the live analog of the
             # reference's manual --reinit_frames (predict.py:539-541).
             policy = None
+            if on_track_lost is not None and samples < 2:
+                # The health score that drives the policy comes from the
+                # multi-hypothesis step, so a recovery callback with
+                # samples=1 would silently never fire. Mirror
+                # apps/predict.py --auto_reinit: auto-raise to 2
+                # hypotheses (near-free on the MXU) and say so
+                # (ADVICE r4).
+                print("[predict_ros] on_track_lost requires samples >= 2 "
+                      "(health comes from the multi-hypothesis step); "
+                      "raising samples 1 -> 2", flush=True)
+                samples = 2
             if samples > 1:
                 from ..tracking.hypotheses import ReinitPolicy
 

@@ -94,6 +94,20 @@ class BenchObject:
     losses: list = field(default_factory=list)
 
 
+def _recipe_fingerprint(dr, aug, impl) -> str:
+    """Hash of the training-recipe knobs NOT already in the checkpoint
+    metadata: dr on/off + its fields, every AugmentConfig field, and the
+    renderer impl. A rerun with a different recipe (e.g. --clean vs
+    hard) against the same ckpt_dir must be REJECTED, not silently
+    resumed from weights trained under the other regime (ADVICE r4).
+    Both config objects are plain dataclasses of scalars, so repr() is a
+    stable description."""
+    import hashlib
+
+    desc = repr((repr(dr) if dr is not None else None, repr(aug), impl))
+    return hashlib.sha1(desc.encode()).hexdigest()[:12]
+
+
 def train_object(
     tm: M.TriMesh,
     K=YCB_K,
@@ -131,6 +145,7 @@ def train_object(
         trans_normalizer=0.02, rot_normalizer=15 * np.pi / 180,
         aug=aug if aug is not None else A.AugmentConfig(),
     )
+    recipe = _recipe_fingerprint(dr, cfg.aug, impl)
     synth = SyntheticPairs(
         mesh, K, resolution=res, object_width_mm=width,
         max_trans=0.02, max_rot_deg=15.0,
@@ -151,11 +166,12 @@ def train_object(
             if (meta.get("name") == name
                     and int(meta.get("total_steps", -1)) == steps
                     and int(meta.get("batch", -1)) == batch
-                    and int(meta.get("res", -1)) == res):
+                    and int(meta.get("res", -1)) == res
+                    and meta.get("recipe") == recipe):
                 restored = ck.load_checkpoint(ckpt_path)
             else:
                 log(f"[{name}] ignoring {ckpt_path}: different "
-                    "name/steps/batch/res")
+                    "name/steps/batch/res/recipe")
 
     if restored is not None:
         mean_j = jnp.asarray(restored["mean"], jnp.float32)
@@ -192,7 +208,7 @@ def train_object(
             ckpt_path, {"state": state, "mean": mean_j, "std": std_j},
             metadata={"name": name, "step": int(i),
                       "total_steps": int(steps), "batch": int(batch),
-                      "res": int(res)},
+                      "res": int(res), "recipe": recipe},
         )
 
     key = jax.random.PRNGKey(7 + seed_offset)
@@ -276,6 +292,7 @@ def train_objects_ensemble(
     )
     xyz_range = ((-0.12, 0.12), (-0.09, 0.09), (0.45, 0.85))
     Kj = jnp.asarray(K, jnp.float32)
+    recipe = _recipe_fingerprint(dr, cfg.aug, impl)
 
     def sample(key, n):
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
@@ -294,11 +311,12 @@ def train_objects_ensemble(
         if _os.path.exists(ckpt_path):
             meta = ck.load_metadata(ckpt_path)
             if (meta.get("names") == list(names)
-                    and int(meta.get("total_steps", -1)) == steps):
+                    and int(meta.get("total_steps", -1)) == steps
+                    and meta.get("recipe") == recipe):
                 restored = ck.load_checkpoint(ckpt_path)
             else:
                 log(f"[ensemble x{O}] ignoring {ckpt_path}: different "
-                    "names/steps")
+                    "names/steps/recipe")
 
     if restored is not None:
         mean = jnp.asarray(restored["mean"], jnp.float32)
@@ -349,7 +367,7 @@ def train_objects_ensemble(
             {"state": ens_state, "mean": mean, "std": std},
             metadata={"names": list(names), "step": int(i),
                       "total_steps": int(steps), "batch": int(batch),
-                      "res": int(res)},
+                      "res": int(res), "recipe": recipe},
         )
 
     key = jax.random.PRNGKey(7)
@@ -541,6 +559,18 @@ def _score_poses(obj: BenchObject, gt: np.ndarray,
     }
 
 
+def _quantize(rgb, dep):
+    """Observed video at sensor precision (uint8 RGB / uint16 mm depth).
+    EVERY accuracy-table row scores a quantized observed video — the
+    ensemble fast path, the sequential/textured path, and the severity
+    sweep alike — so rows are apples-to-apples across paths and reruns
+    (ADVICE r4: the sequential path used to score unquantized float
+    renders)."""
+    rgb = np.asarray(jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8))
+    dep = np.asarray(jnp.clip(jnp.round(dep), 0, 65535).astype(jnp.uint16))
+    return rgb, dep
+
+
 def evaluate_tracking(obj: BenchObject, gt: np.ndarray, frames_rgb,
                       frames_depth, K=YCB_K, init_pose=None) -> dict:
     """Track from ``init_pose`` (default gt[0] — pass a perturbed pose
@@ -633,6 +663,7 @@ def shift_severity_sweep(obj: BenchObject, gt: np.ndarray, *,
                                      impl=impl, lighting=sm.lighting())
         sd = seed + (int(tag * 100) if isinstance(tag, float) else 9999)
         rgb_s, dep_s = DS.shift_video(rgb, dep, gt, K, sm, seed=2000 + sd)
+        rgb_s, dep_s = _quantize(rgb_s, dep_s)
         init = DS.noisy_init_pose(jax.random.PRNGKey(700 + sd), gt[0], sm)
         r = evaluate_tracking(obj, gt, rgb_s, dep_s, K=K, init_pose=init)
         rows.append({
@@ -644,6 +675,69 @@ def shift_severity_sweep(obj: BenchObject, gt: np.ndarray, *,
         })
         log(f"[{obj.name}] shift x{tag}: ADD AUC {r['add_auc']:.2f} "
             f"ADD-S {r['adi_auc']:.2f} mean {r['add_mean_mm']:.1f}mm")
+    return rows
+
+
+SHIFT_AXES = {
+    "lighting": ("ambient", "diffuse", "light_cam"),
+    "photometric": ("exposure_amp", "wb_amp", "gamma", "rgb_noise_std",
+                    "wb_const"),
+    "blur": ("motion_blur_px",),
+    "depth": ("depth_quant_mm", "edge_dropout_prob", "depth_warp_amp",
+              "depth_noise_mm", "dropout_prob"),
+    "init": ("init_trans_m", "init_rot_deg"),
+}
+
+
+def shift_axis_ablation(obj: BenchObject, gt: np.ndarray, *,
+                        severity: float = 2.0, hard: bool = True,
+                        impl: str | None = None, sensor=None,
+                        seed: int = 0, K=YCB_K, hw=(480, 640),
+                        log=_print_flush) -> list[dict]:
+    """WHICH shift axis kills tracking at a given severity (VERDICT r4
+    #3: textured_box collapses a full octave before geometry objects at
+    x2 and nothing names the killing axis). Evaluates the tracker under
+    single-axis sensor models: every field at its nominal (severity-0)
+    value except ONE axis group at the full-severity value — plus
+    'none' (all nominal) and 'full' (everything at severity) anchors.
+    The axis whose solo row approaches the full row's damage is the
+    dominant failure mode."""
+    import dataclasses
+
+    from . import domain_shift as DS
+
+    base = sensor if sensor is not None else DS.SensorModel()
+    full = base.scaled(float(severity))
+    nominal = base.scaled(0.0)
+    axes = ([("none", ())] +
+            [(n, f) for n, f in SHIFT_AXES.items()] +
+            [("full", tuple(x for f in SHIFT_AXES.values() for x in f))])
+    render_cache = {}
+    rows = []
+    for name, fields in axes:
+        sm = dataclasses.replace(
+            nominal, **{f: getattr(full, f) for f in fields})
+        lkey = tuple(np.asarray(sm.lighting()).tolist())
+        if lkey not in render_cache:  # only lighting changes the render
+            render_cache[lkey] = render_test_video(
+                obj.mesh, gt, K=K, hw=hw, hard=hard, impl=impl,
+                lighting=sm.lighting())
+        rgb, dep = render_cache[lkey]
+        rgb_s, dep_s = DS.shift_video(rgb, dep, gt, K, sm,
+                                      seed=3000 + seed)
+        rgb_s, dep_s = _quantize(rgb_s, dep_s)
+        init = DS.noisy_init_pose(jax.random.PRNGKey(800 + seed), gt[0],
+                                  sm)
+        r = evaluate_tracking(obj, gt, rgb_s, dep_s, K=K, init_pose=init)
+        rows.append({
+            "axis": name,
+            "severity": float(severity),
+            "add_auc": r["add_auc"],
+            "adi_auc": r["adi_auc"],
+            "add_mean_mm": r["add_mean_mm"],
+        })
+        log(f"[{obj.name}] shift-ablation x{severity} {name}: "
+            f"ADD AUC {r['add_auc']:.2f} mean {r['add_mean_mm']:.1f}mm")
     return rows
 
 
@@ -673,6 +767,8 @@ def run_suite(
     shift_sweep=(),
     sweep_objects=("cube", "lshape", "textured_box"),
     recovery_objects=(),
+    live_recovery_objects=(),
+    ablation_objects=(),
 ) -> list[dict]:
     """Train + track + score each object; returns per-object metric
     dicts (the framework's accuracy table).
@@ -706,6 +802,15 @@ def run_suite(
     long-horizon protocol with a FORCED mid-run failure (15-frame
     full-occlusion burst) and report detection latency + post-recovery
     AUC — results[i]['recovery'].
+    ``live_recovery_objects``: object names that run the SAME forced
+    failure through the LIVE path (StreamTracker + background-thread
+    ReinitPolicy + on_track_lost, domain_shift.live_recovery_eval) —
+    detection latency there is quantized by patience x refetch_every +
+    the fetch round-trip, the number the offline protocol cannot give —
+    results[i]['live_recovery'].
+    ``ablation_objects``: object names that run the single-axis
+    domain-shift ablation at severity x2 (which shift axis kills
+    tracking — shift_axis_ablation) — results[i]['shift_ablation'].
     """
     unknown = [n for n in object_names if n not in OBJECTS]
     if unknown:  # fail BEFORE hours of training, not at the bad name
@@ -750,14 +855,8 @@ def run_suite(
                                       seed=100 + idx)
         init = DS.noisy_init_pose(jax.random.PRNGKey(500 + idx), gt[0],
                                   sensor)
+        rgb_s, dep_s = _quantize(rgb_s, dep_s)
         return rgb_s, dep_s, init
-
-    def _quantize(rgb, dep):
-        """Observed video at sensor precision (uint8 / uint16 mm)."""
-        rgb = np.asarray(jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8))
-        dep = np.asarray(jnp.clip(jnp.round(dep), 0, 65535).astype(
-            jnp.uint16))
-        return rgb, dep
 
     # Ensemble eval fast path: ONE compiled program scores every
     # texture-free object's matched video, one more the shifted table
@@ -766,6 +865,7 @@ def run_suite(
     # objects eval sequentially with their real UV pipeline.
     ens_matched = {}
     ens_shifted = {}
+    ens_fallback = False
     if objs is not None:
         plain = [(i, o) for i, o in enumerate(objs)
                  if o.tm.texture is None]
@@ -783,7 +883,7 @@ def run_suite(
                     svids, inits = [], []
                     for i, o in plain:
                         rgb_s, dep_s, init = _shifted_video(o, i)
-                        svids.append(_quantize(rgb_s, dep_s))
+                        svids.append((rgb_s, dep_s))
                         inits.append(np.asarray(init))
                     for (i, _), r in zip(plain, ensemble_evaluate_tracking(
                             sub, gt, np.stack([v[0] for v in svids]),
@@ -792,10 +892,13 @@ def run_suite(
                         ens_shifted[i] = r
                     del svids
         except Exception as e:  # OOM etc: sequential path still works
-            log(f"ensemble eval failed ({e!r}); falling back to "
-                f"sequential per-object eval")
+            log(f"ensemble eval failed ({e!r}); FALLING BACK to "
+                f"sequential per-object eval — rows will carry "
+                f"eval_path='sequential_fallback' so the run of record "
+                f"is self-describing")
             ens_matched = {}
             ens_shifted = {}
+            ens_fallback = True
 
     results = []
     for idx, name in enumerate(object_names):
@@ -809,10 +912,13 @@ def run_suite(
             )
         if idx in ens_matched:
             r = ens_matched[idx]
+            r["eval_path"] = "ensemble"
         else:
-            frames_rgb, frames_depth = render_test_video(
-                obj.mesh, gt, hard=hard, impl=impl)
+            frames_rgb, frames_depth = _quantize(*render_test_video(
+                obj.mesh, gt, hard=hard, impl=impl))
             r = evaluate_tracking(obj, gt, frames_rgb, frames_depth)
+            r["eval_path"] = ("sequential_fallback" if ens_fallback
+                              else "sequential")
         r["train_secs"] = obj.train_secs
         r["symmetric"] = name in SYMMETRIC_OBJECTS
         r.pop("poses")
@@ -826,15 +932,19 @@ def run_suite(
         if domain_shift:
             if idx in ens_shifted:
                 rs = ens_shifted[idx]
+                shift_path = "ensemble"
             else:
                 rgb_s, dep_s, init = _shifted_video(obj, idx)
                 rs = evaluate_tracking(obj, gt, rgb_s, dep_s,
                                        init_pose=init)
+                shift_path = ("sequential_fallback" if ens_fallback
+                              else "sequential")
             r["domain_shifted"] = {
                 k: rs[k] for k in (
                     "add_auc", "adi_auc", "add_mean_mm", "add_max_mm",
                     "final_trans_err_mm")
             }
+            r["domain_shifted"]["eval_path"] = shift_path
             log(f"[{name}] domain-shifted: "
                 f"ADD AUC {rs['add_auc']:.2f} "
                 f"ADD-S AUC {rs['adi_auc']:.2f} "
@@ -844,6 +954,10 @@ def run_suite(
             r["shift_sweep"] = shift_severity_sweep(
                 obj, gt, hard=hard, impl=impl, severities=shift_sweep,
                 sensor=sensor, seed=idx, log=log)
+        if name in ablation_objects:
+            r["shift_ablation"] = shift_axis_ablation(
+                obj, gt, severity=2.0, hard=hard, impl=impl,
+                sensor=sensor, seed=idx, log=log)
         if long_horizon_frames:
             gt_lh = make_gt_trajectory(long_horizon_frames, seed=17)
             rgb_lh, dep_lh = render_test_video(
@@ -852,6 +966,7 @@ def run_suite(
             if domain_shift:
                 rgb_lh, dep_lh = DS.shift_video(rgb_lh, dep_lh, gt_lh,
                                                 YCB_K, sensor, seed=777)
+            rgb_lh, dep_lh = _quantize(rgb_lh, dep_lh)
             r["long_horizon"] = DS.long_horizon_eval(
                 obj, gt_lh, rgb_lh, dep_lh, YCB_K,
                 reinit_sensor=sensor)
@@ -873,6 +988,22 @@ def run_suite(
                     f"{rc['recovered_at']}, post-recovery ADD AUC "
                     f"{rc.get('post_recovery_add_auc', float('nan')):.2f}"
                     f", reinit x{rc['reinit_count']}")
+            if name in live_recovery_objects:
+                # the same burst through the LIVE path (StreamTracker +
+                # background-fetch policy): latency quantized by
+                # patience x refetch_every + round-trip (VERDICT r4 #4)
+                r["live_recovery"] = DS.live_recovery_eval(
+                    obj, gt_lh, rgb_lh, dep_lh, YCB_K,
+                    reinit_sensor=sensor,
+                    fail_at=long_horizon_frames // 3, fail_len=15)
+                lv = r["live_recovery"]
+                log(f"[{name}] LIVE recovery (burst @{lv['fail_at']}+"
+                    f"{lv['fail_len']}, samples={lv['samples']}, "
+                    f"refetch_every={lv['refetch_every']}): detected in "
+                    f"{lv['detection_latency']} frames, reinit applied "
+                    f"at {lv['reinit_applied_at']}, post-recovery ADD "
+                    f"AUC "
+                    f"{lv.get('post_recovery_add_auc', float('nan')):.2f}")
         results.append(r)
         if on_result is not None:  # incremental persistence for long runs
             on_result(list(results))
