@@ -119,8 +119,22 @@ def _track_files(tracker, rgb_files, depth_files, init_pose, args,
               if p is not None and start + 1 <= i < n}
     init_pose = np.asarray(init_pose, np.float64)
 
-    if args.track_mode == "scan":
+    if args.track_mode in ("scan", "adaptive"):
         chunk = getattr(args, "chunk_size", 64)
+        dispatcher = None
+        if args.track_mode == "adaptive":
+            # Runtime dispatch-granularity selection (tracking/dispatch):
+            # probes scan vs per-frame ON THIS VIDEO and runs whichever
+            # is fastest this hour; one dispatcher reuses its compiled
+            # programs + probe table across re-init segments.
+            from ..tracking.dispatch import AdaptiveVideoTracker
+
+            chunk = getattr(args, "chunk_size", None) or 100
+            cands = tuple(dict.fromkeys(
+                c for c in (chunk, 8, 1) if chunk % c == 0))
+            dispatcher = AdaptiveVideoTracker(
+                tracker, candidates=cands,
+                samples=getattr(args, "samples", 1))
         bounds = sorted(set([start + 1] + list(reinit)))
         poses = [init_pose]
         cur = init_pose
@@ -131,13 +145,21 @@ def _track_files(tracker, rgb_files, depth_files, init_pose, args,
                 print("Reinitialized at", a)
             if a >= b:
                 continue
-            seg = tracker.track_video_chunked(
-                cur, _batch_src(rgb_files[a:b], "rgb"),
-                _batch_src(depth_files[a:b], "depth"),
-                chunk_size=min(chunk, b - a), n_frames=b - a,
-            )
+            if dispatcher is not None:
+                seg, _ = dispatcher.track(
+                    cur, _batch_src(rgb_files[a:b], "rgb"),
+                    _batch_src(depth_files[a:b], "depth"),
+                    chunk_size=chunk, n_frames=b - a)
+            else:
+                seg = tracker.track_video_chunked(
+                    cur, _batch_src(rgb_files[a:b], "rgb"),
+                    _batch_src(depth_files[a:b], "depth"),
+                    chunk_size=min(chunk, b - a), n_frames=b - a,
+                )
             poses.extend(list(seg))
             cur = seg[-1]
+        if dispatcher is not None:
+            print(f"adaptive dispatch: {dispatcher.telemetry()}")
         return np.stack(poses)
 
     if args.track_mode == "stream":
@@ -476,7 +498,10 @@ def build_parser():
                         choices=["gt", "posecnn", "poserbpf"],
                         help="initial-pose source (reference predict.py:477-515)")
     parser.add_argument("--track_mode", default="scan",
-                        choices=["scan", "stream", "ontrack"])
+                        choices=["scan", "stream", "ontrack", "adaptive"],
+                        help="adaptive: probe scan vs per-frame dispatch "
+                             "on this video and run whichever is fastest "
+                             "this hour (tracking/dispatch.py)")
     parser.add_argument("--chunk_size", default=64, type=int,
                         help="frames per device chunk in scan mode "
                              "(bounds HBM residency for long videos)")

@@ -478,6 +478,35 @@ class Tracker:
         )
         return np.asarray(poses)
 
+    def track_video_adaptive(self, init_pose, rgb_source, depth_source,
+                             n_frames: int | None = None,
+                             chunk_size: int = 100,
+                             candidates=(100, 10, 1), samples: int = 1,
+                             dispatcher=None):
+        """Bounded-memory whole-video tracking with RUNTIME selection of
+        the dispatch granularity (tracking/dispatch.py): the fused scan
+        is the fastest mode on a healthy device but collapses ~7x under
+        shared-device contention, where per-frame dispatch of the same
+        step is barely touched — so the product probes candidate
+        granularities on the video's first frames (real work, poses
+        kept) and runs the rest in whichever is fastest THIS hour,
+        re-probing if the rate collapses mid-video.
+
+        Returns (poses (T,4,4), telemetry dict). Pass a prebuilt
+        ``dispatcher`` (AdaptiveVideoTracker) to reuse its compiled
+        programs and probe state across videos.
+        """
+        from .dispatch import AdaptiveVideoTracker
+
+        d = dispatcher or AdaptiveVideoTracker(
+            self, candidates=candidates, samples=samples)
+        poses, scores = d.track(init_pose, rgb_source, depth_source,
+                                n_frames=n_frames, chunk_size=chunk_size)
+        tel = d.telemetry()
+        if scores is not None:
+            tel["scores"] = scores
+        return poses, tel
+
     def track_video_chunked(self, init_pose, rgb_source, depth_source,
                             chunk_size: int = 64, n_frames: int | None = None):
         """Bounded-memory whole-video tracking: stream the video through
