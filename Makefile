@@ -1,5 +1,8 @@
 # Common targets for iros20_6d_pose_tracking_tpu.
-.PHONY: test test-fast bench demo native clean
+.PHONY: test test-fast bench demo native clean realdata-dryrun
+
+realdata-dryrun: ## full real-data protocol chain against a synthetic tree
+	python examples/realdata_dryrun.py
 
 test:            ## full hermetic suite (CPU, virtual 8-device mesh)
 	python -m pytest tests/ -x -q

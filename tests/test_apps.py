@@ -379,3 +379,22 @@ def test_make_ycb_fixture_tree(tmp_path):
     assert depth.dtype == np.uint16 and (depth > 0).any()
     pose = np.loadtxt(root / "0048/pose_gt/4/000000.txt")
     assert pose.shape == (4, 4) and np.isclose(pose[2, 3], 0.5)
+
+
+@pytest.mark.slow
+def test_realdata_dryrun(tmp_path):
+    """The one-command real-data protocol chain (docs/REALDATA.md,
+    `make realdata-dryrun`): fixture tree -> 2 real `predict --mode
+    ycbv_all` runs -> eval_ycb.eval_all (count assertion on) ->
+    `predict --mode ycbineoat` -> eval_ycbineoat.eval_all, with every
+    output diffed against pinned zero-head expectations. Green here
+    means the real-data commands in REALDATA.md cannot have bit-rotted."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "realdata_dryrun",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "examples", "realdata_dryrun.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(["--root", str(tmp_path / "dryrun"), "--frames", "4"])
