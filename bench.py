@@ -68,13 +68,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _start_watchdog(stall_s=300.0, grace_s=120.0):
+_FIRST_DEVICE_OK = [False]
+
+
+def _start_watchdog(stall_s=300.0, grace_s=120.0, early_s=150.0):
     """Emit the JSON line and hard-exit if (a) total wall exceeds the
-    budget + grace, or (b) no row has logged progress for ``stall_s``
+    budget + grace, (b) no row has logged progress for ``stall_s``
     while over half the budget is gone (a legitimate cold compile can
     take minutes, so early stalls get the benefit of the doubt; a
-    late-run stall is a lost RPC). os._exit because a thread cannot
-    interrupt a natively-blocked jax call."""
+    late-run stall is a lost RPC), or (c) the FIRST device op hasn't
+    completed within ``early_s`` — the axon tunnel drops the first RPC
+    of a fresh process every few hours (three times on 2026-08-19
+    alone); that wedge never recovers, and detecting it early lets the
+    parent retry loop (main) start a fresh process while the budget is
+    still mostly intact. os._exit because a thread cannot interrupt a
+    natively-blocked jax call."""
     import threading
 
     def run():
@@ -83,8 +91,10 @@ def _start_watchdog(stall_s=300.0, grace_s=120.0):
             wall = time.perf_counter() - _T0
             stalled = (time.perf_counter() - _LAST_PROGRESS[0] > stall_s
                        and wall > _BUDGET_S / 2)
-            if wall > _BUDGET_S + grace_s or stalled:
+            early = not _FIRST_DEVICE_OK[0] and wall > early_s
+            if wall > _BUDGET_S + grace_s or stalled or early:
                 OUT["watchdog_abort"] = (
+                    "early_stall" if early else
                     "stalled" if stalled else "over_budget")
                 OUT["bench_wall_s"] = round(wall, 1)
                 print(json.dumps(OUT), flush=True)
@@ -93,7 +103,7 @@ def _start_watchdog(stall_s=300.0, grace_s=120.0):
                       f"{time.perf_counter() - _LAST_PROGRESS[0]:.0f}s ago)"
                       f" — emitted partial JSON and exiting",
                       file=sys.stderr, flush=True)
-                os._exit(0)
+                os._exit(0 if not early else 7)
 
     threading.Thread(target=run, daemon=True,
                      name="bench-watchdog").start()
@@ -215,6 +225,7 @@ def bench_scan(b, dtype_label="f32", T=100, model=None, cfg=None):
     )
     t0 = time.perf_counter()
     np.asarray(run())
+    _FIRST_DEVICE_OK[0] = True
     first_call = time.perf_counter() - t0
     log(f"scan[{dtype_label}] first call (compile + {T} frames): "
         f"{first_call:.2f}s")
@@ -230,8 +241,8 @@ def bench_scan(b, dtype_label="f32", T=100, model=None, cfg=None):
     return hz
 
 
-def bench_adaptive(b, T=400, samples=1, candidates=(100, 10, 1),
-                   label="flagship"):
+def bench_adaptive(b, T=400, samples=1, candidates=(100, 10, 1, 0),
+                   label="flagship", chunk_size=100):
     """The FLAGSHIP row (VERDICT r4 #1): single-object tracking through
     the product's adaptive dispatcher (tracking/dispatch.py), which
     probes candidate dispatch granularities on the video's first frames
@@ -251,16 +262,21 @@ def bench_adaptive(b, T=400, samples=1, candidates=(100, 10, 1),
 
     t = Tracker.from_parts(b.model, b.cfg, b.variables, b.mesh, b.K,
                            b.mean, b.std)
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # smoke mode exercises the machinery, not the numbers: CPU runs
+        # the step at ~1 Hz, so full-size probing would eat the budget
+        T, candidates, chunk_size = 24, (8, 1, 0), 8
     d = AdaptiveVideoTracker(t, candidates=candidates, probe_frames=20,
                              samples=samples)
     t0 = time.perf_counter()
-    d.warmup(b.rgb_u8, b.depth_u16, b.pose)
+    d.warmup(b.rgb_u8, b.depth_u16, b.pose, chunk_size=chunk_size)
     log(f"adaptive[{label}] warmup (compile all {len(candidates)} "
         f"modes): {time.perf_counter() - t0:.2f}s")
     rgb = np.broadcast_to(b.rgb_u8, (T,) + b.rgb_u8.shape)
     dep = np.broadcast_to(b.depth_u16, (T,) + b.depth_u16.shape)
     t0 = time.perf_counter()
-    poses, _ = d.track(np.asarray(b.pose), rgb, dep, chunk_size=100)
+    poses, _ = d.track(np.asarray(b.pose), rgb, dep,
+                       chunk_size=chunk_size)
     dt = time.perf_counter() - t0
     assert poses.shape == (T, 4, 4) and np.isfinite(poses).all()
     e2e_hz = T / dt
@@ -720,6 +736,7 @@ def device_probe():
 
     x = jnp.full((2048, 2048), 1e-3, jnp.bfloat16)
     np.asarray(chain(x))
+    _FIRST_DEVICE_OK[0] = True
     best = float("inf")
     for _ in range(8):
         t0 = time.perf_counter()
@@ -787,6 +804,49 @@ def warm_probe():
 
 
 def main():
+    """Retry shell: the axon tunnel drops the FIRST RPC of a fresh
+    process every few hours, wedging that process forever (observed 3x
+    on 2026-08-19). The real bench runs in a child; if the child's
+    watchdog reports an early wedge (exit 7 / early_stall before any
+    device op completed), a fresh child gets the remaining budget. The
+    LAST child's JSON line is re-emitted on stdout for the driver."""
+    if "--warm-probe" in sys.argv or os.environ.get("BENCH_CHILD"):
+        return _main_impl()
+    import subprocess
+
+    deadline = _T0 + _BUDGET_S + 90
+    last_line = json.dumps(OUT)
+    for attempt in range(3):
+        remaining = deadline - time.perf_counter()
+        if remaining < 90:
+            break
+        env = dict(os.environ, BENCH_CHILD="1",
+                   BENCH_BUDGET_S=str(int(max(60, remaining - 60))))
+        p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             stdout=subprocess.PIPE, stderr=sys.stderr,
+                             text=True, env=env)
+        try:
+            out_s, _ = p.communicate(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out_s = ""
+        lines = [ln for ln in (out_s or "").splitlines()
+                 if ln.startswith("{")]
+        if lines:
+            last_line = lines[-1]
+            try:
+                parsed = json.loads(last_line)
+            except Exception:
+                parsed = {}
+            if parsed.get("watchdog_abort") != "early_stall":
+                break  # real result (possibly partial) — keep it
+        log(f"bench child attempt {attempt + 1} wedged before its first "
+            f"device op (lost tunnel RPC); retrying with "
+            f"{deadline - time.perf_counter():.0f}s left")
+    print(last_line, flush=True)
+
+
+def _main_impl():
     import jax
 
     # Smoke-test escape hatch: BENCH_FORCE_CPU=1 runs the whole bench on
@@ -929,7 +989,7 @@ def main():
         # warmed by the plain bench (chunk 50), plus per-frame dispatch.
         for ns in (4, 8):
             steady, e2e, tel = bench_adaptive(
-                b, T=200, samples=ns, candidates=(50, 10, 1),
+                b, T=200, samples=ns, candidates=(50, 10, 0),
                 label=f"mh{ns}")
             out[f"tracking_hz_samples{ns}"] = round(steady, 1)
             out[f"samples{ns}_mode"] = tel["mode"]

@@ -131,7 +131,7 @@ def _track_files(tracker, rgb_files, depth_files, init_pose, args,
 
             chunk = getattr(args, "chunk_size", None) or 100
             cands = tuple(dict.fromkeys(
-                c for c in (chunk, 8, 1) if chunk % c == 0))
+                c for c in (chunk, 8, 1) if chunk % c == 0)) + (0,)
             dispatcher = AdaptiveVideoTracker(
                 tracker, candidates=cands,
                 samples=getattr(args, "samples", 1))

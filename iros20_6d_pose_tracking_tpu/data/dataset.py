@@ -285,6 +285,23 @@ class SyntheticPairs:
             self.render_impl,
         )
 
+    def fused_train_step(self, model, tx, cfg, state, kdata, kaug, mean,
+                         std):
+        """Sampler + train step as ONE jitted program
+        (train/trainer.py::train_step_synth): the rendered pair batch
+        never round-trips HBM between two dispatches. Identical RNG
+        streams and numerics to ``sample_batch(kdata)`` followed by
+        ``train_step(..., kaug, ...)``."""
+        from ..train.trainer import train_step_synth
+
+        return train_step_synth(
+            model, tx, cfg, state, kdata, kaug, self.mesh, self.K,
+            self.object_width_mm, mean, std,
+            batch_size=cfg.batch_size, resolution=self.resolution,
+            max_trans=self.max_trans, max_rot_deg=self.max_rot_deg,
+            xyz_range=tuple(map(tuple, self.xyz_range)), dr=self.dr,
+            impl=self.render_impl)
+
 
 def _smooth_noise(key, res, channels, coarse=6, fine=24):
     """Two-octave smooth noise in [0, 1): coarse blobs + fine detail,

@@ -321,9 +321,13 @@ def live_recovery_eval(obj, gt, frames_rgb, frames_depth, K, *,
             if dt > 0:
                 _time.sleep(dt)
         s.push(rgb[1 + i], dep[1 + i])
-    # drain: in-flight fetch may still fire after the last push; give
-    # the policy one settled look at the final state.
-    _ = s.current_pose()
+        # per-frame blocking pose read — the deployed live-consumer
+        # pattern (the ROS node broadcasts TF from current_pose() every
+        # frame, apps/predict_ros.py). Without a consumer the host push
+        # loop outruns the device arbitrarily far and the background
+        # fetch thread — hence the ReinitPolicy — stops sampling: the
+        # recovery loop is only closed when someone reads the poses.
+        _ = s.current_pose()
     if s._fetcher is not None:
         s._fetcher.shutdown(wait=True)
 

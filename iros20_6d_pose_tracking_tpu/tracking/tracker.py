@@ -171,16 +171,16 @@ def frame_scan(step, init_carry, xs):
     so no data moves.
 
     Why: on a SHARED TPU (the multi-tenant tunnel this was built
-    against), programs whose top-level HLO loop iterates many times get
-    timesliced against co-tenants at a fixed per-iteration cost — the
-    flagship 100-frame tracking scan measured **85 Hz flat vs 750 Hz
-    nested in the same minutes** (co-tenant active), with the nested
-    form matching the quiet-hour flat rate (724–760 Hz), i.e. neutral
-    when the device is idle. Every iteration of a top-level loop is a
-    preemption point; iterations of a nested loop are not. The effect
-    reproduces with any outer/inner split (2x50 .. 100x1); the
-    singleton inner keeps the transform shape-agnostic. See
-    docs/KERNEL.md "Contention immunity".
+    against), one contended window measured the flagship 100-frame
+    tracking scan at **85 Hz flat vs 750 Hz nested in the same
+    minutes**, with the nested form matching the quiet-hour flat rate
+    (724-760 Hz), i.e. neutral when the device is idle — so the nested
+    emission is kept. It is NOT a general contention shield: the r4
+    record hour collapsed the nested scan too (727.9 -> 95.5 Hz) while
+    per-frame dispatch of the same step was untouched. Degradation has
+    multiple modes and no static emission wins them all — runtime mode
+    selection does (tracking/dispatch.py::AdaptiveVideoTracker). See
+    docs/KERNEL.md "Dispatch-length sensitivity (r5)".
     """
     xs1 = jax.tree.map(lambda x: x[:, None], xs)
 

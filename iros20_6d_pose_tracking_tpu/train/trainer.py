@@ -161,6 +161,33 @@ def train_step(model, tx, cfg: TrainConfig, state: TrainState, key,
     return train_step_impl(model, tx, cfg, state, key, raw_batch, mean, std)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "tx", "cfg", "batch_size", "resolution",
+                     "max_trans", "max_rot_deg", "xyz_range", "dr",
+                     "impl"),
+    donate_argnames=("state",))
+def train_step_synth(model, tx, cfg: TrainConfig, state: TrainState,
+                     kdata, kaug, mesh, K, object_width_mm, mean, std,
+                     *, batch_size, resolution, max_trans, max_rot_deg,
+                     xyz_range, dr=None, impl="xla"):
+    """One FUSED program: render the synthetic (A, B) pair batch AND run
+    the train step on it (VERDICT r4 #5: the zero-disk-IO pipeline paid
+    3.1x as two sequential programs — sampler then step — with the raw
+    f32 batch (~125 MB at batch 200) materialized to HBM and re-read
+    between them, plus a second dispatch). Fusing lets XLA keep the
+    rendered pair inside one schedule: same RNG streams and numerics as
+    ``SyntheticPairs.sample_batch`` + ``train_step`` (``kdata`` drives
+    the sampler, ``kaug`` the augmentations — exactly the two keys the
+    unfused path uses), so the suite's training recipe is unchanged."""
+    from ..data.dataset import _synth_batch_impl
+
+    raw = _synth_batch_impl(mesh, K, kdata, batch_size, resolution,
+                            object_width_mm, max_trans, max_rot_deg,
+                            xyz_range, dr, impl)
+    return train_step_impl(model, tx, cfg, state, kaug, raw, mean, std)
+
+
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
 def eval_step(model, cfg: TrainConfig, state: TrainState, raw_batch, mean,
               std, n_valid=None):

@@ -131,3 +131,35 @@ def test_adaptive_short_video_and_tail():
         t.model, t.cfg, t.variables, t.mesh, jnp.asarray(K), t.mean,
         t.std, jnp.asarray(pose0), jnp.asarray(rgbs), jnp.asarray(deps))
     np.testing.assert_allclose(poses, np.asarray(ref), atol=1e-5)
+
+
+def test_adaptive_stream_candidate_parity():
+    """Candidate 0 = the windowed StreamTracker path. With the window
+    covering the whole (tiny) image the stream step is bit-identical to
+    full-frame tracking, so forcing the dispatcher through a stream
+    steady phase must reproduce the plain scan trajectory."""
+    t = _tracker()
+    rgbs, deps, pose0 = _video(t, T=32)
+    d = AdaptiveVideoTracker(t, candidates=(4, 0), probe_frames=4)
+    poses, _ = d.track(pose0, rgbs, deps, chunk_size=8)
+    assert poses.shape == (32, 4, 4)
+    assert set(d.probe_ms_per_frame) == {4, 0}
+    assert d.mode in (4, 0)
+    ref = trk.track_video(
+        t.model, t.cfg, t.variables, t.mesh, jnp.asarray(K), t.mean,
+        t.std, jnp.asarray(pose0), jnp.asarray(rgbs), jnp.asarray(deps))
+    np.testing.assert_allclose(poses, np.asarray(ref), atol=1e-5)
+
+
+def test_adaptive_resident_fast_path():
+    """Device-resident jax-array sources: whole video as one chunk,
+    zero host chunking, candidates may exceed any chunk_size arg."""
+    t = _tracker()
+    rgbs, deps, pose0 = _video(t, T=16)
+    d = AdaptiveVideoTracker(t, candidates=(8, 1), probe_frames=4)
+    poses, _ = d.track(pose0, jnp.asarray(rgbs), jnp.asarray(deps))
+    assert poses.shape == (16, 4, 4)
+    ref = trk.track_video(
+        t.model, t.cfg, t.variables, t.mesh, jnp.asarray(K), t.mean,
+        t.std, jnp.asarray(pose0), jnp.asarray(rgbs), jnp.asarray(deps))
+    np.testing.assert_allclose(poses, np.asarray(ref), atol=1e-5)

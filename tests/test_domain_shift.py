@@ -199,3 +199,75 @@ def test_forced_occlusion_burst_recovery():
     # burst, so whole-run ~== post-recovery here; the dynamic-scene cost
     # shows up in the accuracy suite's recovery rows)
     assert r["add_auc"] > 90.0
+
+
+@pytest.mark.slow
+def test_pre_burst_organic_fire_not_treated_as_burst():
+    """ADVICE r4 (medium): an ORGANIC policy fire before the occlusion
+    burst must re-detect immediately on the clear frame (a reinit at a
+    frame < fail_at), not silently hold through to fail_end — and
+    detection_latency must count only fires at/after onset (>= 1; the
+    old code could clamp a pre-burst fire to a fake 0)."""
+    obj = _zero_head_bench_object()
+    T = 50
+    gt = SB.make_gt_trajectory(T)          # moving: hold-pose drifts
+    rgb, dep = SB.render_test_video(obj.mesh, gt, K=K_SMALL, hw=HW,
+                                    impl="xla")
+    r = DS.long_horizon_eval(obj, gt, rgb, dep, K_SMALL, chunk=10,
+                             threshold=0.4, patience=2,
+                             fail_at=30, fail_len=8)
+    assert "pre_burst_trigger" in r
+    # the drift fires organically well before the burst, and that fire
+    # re-anchors BEFORE fail_at instead of being swallowed by the hold
+    assert any(f < 30 for f in r["reinit_frames"]), r["reinit_frames"]
+    if r["detection_latency"] is not None:
+        assert r["detection_latency"] >= 1
+
+
+@pytest.mark.slow
+def test_live_recovery_forced_burst():
+    """VERDICT r4 #4: the forced-occlusion protocol through the LIVE
+    path (StreamTracker + background-fetch ReinitPolicy +
+    on_track_lost). The policy sees one health sample per background
+    refetch, so latency is quantized by patience x refetch_every + the
+    fetch round-trip — exactly what this row measures."""
+    obj = _zero_head_bench_object()
+    T = 50
+    # MOVING ground truth: a hold-pose tracker genuinely loses the
+    # object, so the policy must fire both organically and through the
+    # burst, and post-burst recovery requires an APPLIED external
+    # re-detection. (On a static scene a hold-pose tracker self-recovers
+    # when the burst clears — health returns high, no fire, nothing to
+    # re-detect — which is correct but exercises no recovery.)
+    gt = SB.make_gt_trajectory(T)
+    rgb, dep = SB.render_test_video(obj.mesh, gt, K=K_SMALL, hw=HW,
+                                    impl="xla")
+    mild = DS.SensorModel(init_trans_m=0.001, init_rot_deg=0.5)
+    r = DS.live_recovery_eval(obj, gt, rgb, dep, K_SMALL,
+                              samples=2, threshold=0.4, patience=2,
+                              refetch_every=2, reinit_sensor=mild,
+                              fail_at=20, fail_len=10, pace_hz=None)
+    assert r["frames"] == T - 1
+    assert r["track_lost_events"] >= 1
+    assert r["detection_latency"] is not None
+    assert r["detection_latency"] >= 1
+    assert r["recovered_at"] is not None
+    assert r["recovered_at"] >= 30          # after the burst clears
+    assert np.isfinite(r["post_recovery_add_auc"])
+    assert np.isfinite(r["add_auc"])
+
+
+@pytest.mark.slow
+def test_shift_axis_ablation_rows():
+    """Single-axis ablation (VERDICT r4 #3): every axis row present,
+    anchored by 'none' and 'full', all finite."""
+    obj = _zero_head_bench_object()
+    gt = SB.make_gt_trajectory(10)
+    rows = SB.shift_axis_ablation(obj, gt, severity=2.0, hard=False,
+                                  impl="xla", K=K_SMALL, hw=HW)
+    axes = [r["axis"] for r in rows]
+    assert axes == ["none", "lighting", "photometric", "blur", "depth",
+                    "init", "full"]
+    for r in rows:
+        assert np.isfinite(r["add_auc"]) and 0 <= r["add_auc"] <= 100
+        assert r["severity"] == 2.0
