@@ -909,6 +909,7 @@ def _main_impl():
         # better same-run sample if the probe hit a transient blip
         out["tracking_hz_adaptive_e2e"] = round(ad_e2e, 2)
         out["flagship_mode_frames_per_dispatch"] = ad_tel["mode"]
+        out["flagship_mode_settled"] = ad_tel["settled"]
         out["flagship_probe_ms_per_frame"] = ad_tel["probe_ms_per_frame"]
         out["flagship_reprobes"] = ad_tel["reprobes"]
     except Exception as e:

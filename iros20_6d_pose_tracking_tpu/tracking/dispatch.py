@@ -115,6 +115,8 @@ class AdaptiveVideoTracker:
         self._warmed_shapes: set = set()
         # telemetry of the last track() call
         self.mode = None
+        self.settled = None   # False: video ended mid-probe, mode is a
+        #                       projection from the probe table
         self.probe_ms_per_frame: dict = {}
         self._probe1: dict = {}    # mode -> single-dispatch ms estimate
         self.reprobes = 0
@@ -502,11 +504,20 @@ class AdaptiveVideoTracker:
                               jax.device_put(dep_np), rgb_np, dep_np)
         poses = np.concatenate(out_chunks, axis=0)
         scores = (np.concatenate(score_chunks, axis=0) if multi else None)
+        self.settled = chosen is not None
+        if chosen is None and self.probe_ms_per_frame:
+            # The video ended mid-(re)probe. Report the mode the
+            # dispatcher WOULD settle to (best probed rate so far) so
+            # telemetry rows self-describe instead of printing None;
+            # ``settled=False`` marks it as a projection.
+            self.mode = min(self.probe_ms_per_frame,
+                            key=self.probe_ms_per_frame.get)
         return poses, scores
 
     def telemetry(self) -> dict:
         return {
             "mode": self.mode,
+            "settled": getattr(self, "settled", None),
             "probe_ms_per_frame": dict(self.probe_ms_per_frame),
             "reprobes": self.reprobes,
             "n_segments": len(self.segments),

@@ -305,7 +305,8 @@ def test_run_suite_ensemble_with_textured_and_extras(tmp_path):
         hard=False, impl="xla", log=lambda *a: None, ensemble=True,
         domain_shift=True, long_horizon_frames=12,
         shift_sweep=(1.0,), sweep_objects=("textured_box",),
-        recovery_objects=("cube",),
+        recovery_objects=("cube",), live_recovery_objects=("cube",),
+        ablation_objects=("textured_box",),
     )
     assert [r["name"] for r in results] == ["cube", "textured_box"]
     for r in results:
@@ -319,3 +320,13 @@ def test_run_suite_ensemble_with_textured_and_extras(tmp_path):
     rc = results[0]["recovery"]
     assert rc["fail_at"] == 4 and rc["reinit_count"] >= 0
     assert "detection_latency" in rc
+    # LIVE recovery row (StreamTracker path, VERDICT r4 #4) on cube
+    lv = results[0]["live_recovery"]
+    assert lv["fail_at"] == 4 and "detection_latency" in lv
+    assert "refetch_every" in lv  # the latency-quantization context
+    # single-axis ablation rows (VERDICT r4 #3) on the textured object
+    ab = results[1]["shift_ablation"]
+    axes = {row["axis"] for row in ab}
+    assert {"none", "full"} <= axes and len(axes) >= 4
+    for row in ab:
+        assert np.isfinite(row["add_auc"])
