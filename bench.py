@@ -979,8 +979,6 @@ def _main_impl():
                 f"bf16 peak (f32 step)")
 
     gated("train", 25, _train)
-    gated("train-synth", 25, lambda: out.update(
-        train_synth_samples_per_sec=round(bench_train_synth(b), 1)))
 
     def _mh():
         # Multi-hypothesis through the SAME adaptive dispatcher
@@ -997,7 +995,13 @@ def _main_impl():
             out[f"samples{ns}_probe_ms_per_frame"] = \
                 tel["probe_ms_per_frame"]
 
+    # MH rows before train-synth: VERDICT r4 #2 requires the
+    # 4/8-hypothesis rows in-record with self-describing mode+probe
+    # context, while train-synth's one-off compile (~52 s cold) is the
+    # single biggest budget hazard — it must never crowd these out.
     gated("multi-hypothesis", 60, _mh)
+    gated("train-synth", 25, lambda: out.update(
+        train_synth_samples_per_sec=round(bench_train_synth(b), 1)))
 
     def _cli():
         # re-probe the tunnel right before the row: H2D rates swing >5x
