@@ -40,6 +40,19 @@ def timed(label, fn, iters=10):
     return round(ms, 2)
 
 
+def _dump(out):
+    # Incremental dump after every row: the axon tunnel can hang a
+    # cold compile for >20 min (it did on 2026-08-20 08:03), and an
+    # external `timeout` kill must not erase the rows already measured.
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "degradation_runs")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"synth_profile_{out['stamp']}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return path
+
+
 def main(batch=200, res=176):
     import jax
     import jax.numpy as jnp
@@ -85,6 +98,7 @@ def main(batch=200, res=176):
     out["sampler_nodr_ms"] = timed(
         "sampler (no DR)",
         lambda: synth_nodr.sample_batch(key, batch)["rgbB"])
+    _dump(out)
 
     # pallas batched render at current shapes (r2 measured XLA 2.25x
     # better at batch; re-check per VERDICT #5c)
@@ -98,6 +112,7 @@ def main(batch=200, res=176):
             lambda: synth_pl.sample_batch(key, batch)["rgbB"])
     except Exception as e:
         bench.log(f"pallas sampler failed: {e!r}")
+    _dump(out)
 
     # train step alone on a FIXED raw batch (sampler cost excluded)
     raw_fixed = jax.tree.map(jnp.asarray, synth.sample_batch(key, batch))
@@ -110,6 +125,7 @@ def main(batch=200, res=176):
         return m["loss"]
 
     out["train_step_ms"] = timed("train step (fixed raw)", step_only)
+    _dump(out)
 
     # unfused pipeline (what bench_train_synth measured): sample + step
     def unfused():
@@ -120,6 +136,7 @@ def main(batch=200, res=176):
         return m["loss"]
 
     out["unfused_ms"] = timed("sampler + step (2 programs)", unfused)
+    _dump(out)
 
     # FUSED single program
     def fused():
@@ -129,6 +146,7 @@ def main(batch=200, res=176):
         return m["loss"]
 
     out["fused_ms"] = timed("sampler + step (FUSED)", fused)
+    _dump(out)
 
     # uint8/uint16 handoff between sampler and step (ensemble trick):
     # quantization happens INSIDE the sampler program so the inter-
@@ -168,12 +186,7 @@ def main(batch=200, res=176):
         out[k + "_samples_per_sec"] = round(batch / out[k + "_ms"] * 1e3, 1)
     probe_ms2, _ = bench.device_probe()
     out["probe_end_ms"] = probe_ms2
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "degradation_runs")
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"synth_profile_{out['stamp']}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    path = _dump(out)
     bench.log(f"wrote {path}")
     print(json.dumps(out))
 
